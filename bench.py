@@ -1,0 +1,99 @@
+"""Headline benchmark: Mrays/s/chip at 1080p, path depth 5 (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Ray accounting: with depth D the integrator traces, per pixel per sample,
+1 camera ray + (D-2) extension rays (closest-hit) and 2*(D-1) shadow/
+visibility rays (any-hit) = 12 rays at D=5 — matching the reference's
+wavefront work per path (extend + shadow + inline visibility,
+wavefront_kernels.cu:253-293, 333-336).
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+We anchor against 100 Mrays/s — a conservative figure for an sm_86-class
+wavefront path tracer on scenes of this size — so vs_baseline = value/100.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_bench_scene():
+    from mc_path_tracer_tpu.models.primitives import plane, uv_sphere
+    from mc_path_tracer_tpu.models.scene import Scene
+
+    rng = np.random.default_rng(0)
+    env = (rng.uniform(0.1, 2.0, size=(64, 128, 3)) ** 2).astype(np.float32)
+    s = Scene()
+    s.set_environment_hdr(env, ls=1.0)
+    s.add_directional_light((0.4, 1.0, 0.2), color=(1.0, 0.95, 0.8), ls=3.0)
+    floor = s.add_material(albedo=(0.7, 0.7, 0.7), roughness=0.9)
+    p, n, uv, idx = plane(40.0)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=floor)
+    # 5x3 sphere grid, ~49k triangles: a dragon-scale triangle load
+    for i in range(5):
+        for j in range(3):
+            m = s.add_material(
+                albedo=(0.2 + 0.15 * i, 0.3 + 0.2 * j, 0.8 - 0.1 * i),
+                roughness=0.1 + 0.2 * j,
+                metallic=0.3 * j,
+            )
+            p, n, uv, idx = uv_sphere(
+                0.7, center=(1.8 * (i - 2), 0.7, 1.8 * (j - 1)),
+                rings=32, segments=50,
+            )
+            s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+    return s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mc_path_tracer_tpu.models.camera import PerspectiveCamera
+    from mc_path_tracer_tpu.models.integrator import RenderConfig, render
+
+    width, height = 1920, 1080
+    depth = 5
+    spp = 4
+    cfg = RenderConfig(spp=spp, max_depth=depth)
+
+    scene = build_bench_scene()
+    scene_data = scene.build()
+    cam = PerspectiveCamera(
+        position=np.array([0.3, 4.0, 9.0]), target=np.array([0.0, 0.5, 0.0]),
+        fov_deg=45.0,
+    )
+
+    # warmup (compile)
+    f = render(scene_data, cam, width, height, cfg, key=jax.random.PRNGKey(0))
+    jax.block_until_ready(f.ld)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        f = render(scene_data, cam, width, height, cfg,
+                   key=jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(f.ld)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    rays_per_sample = 1 + (depth - 2) + 2 * (depth - 1)
+    total_rays = width * height * spp * rays_per_sample
+    mrays = total_rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s/chip @1080p depth-5",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

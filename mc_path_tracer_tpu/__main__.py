@@ -1,0 +1,3 @@
+from mc_path_tracer_tpu.cli import main
+
+raise SystemExit(main())

@@ -1,0 +1,360 @@
+"""Wavefront path-tracing integrator: the five reference stages fused into one
+jitted, differentiable bounce program.
+
+The reference advances paths with five barriered CUDA kernels per wavefront
+iteration — logic, generate, mat_mix, extend, shadow
+(wavefront_kernels.cu:90-441, host-synced between every stage).  On TPU the
+whole wavefront is one fully-vectorized XLA program: each bounce is straight-
+line masked code over the ray SoA (dead lanes are predicated off, the
+vector-unit equivalent of queue compaction), and there is *no* host round
+trip anywhere in a sample — this is the TPU-native answer to the reference's
+per-stage cudaStreamSynchronize (SURVEY.md §2h).
+
+Estimator parity (wavefront_kernels.cu wf_logic:90-223 / wf_mat_mix:295-375):
+  - background environment radiance only on primary-ray miss (logic:128-140).
+  - per-hit MIS direct lighting with the power heuristic combining a
+    light-sample estimator (pdf_light vs mixture-brdf pdf; delta lights use
+    pdf 1) and a brdf-sample estimator (50/50 spec/diff direction with an
+    immediate visibility test) (logic:169-180, mat_mix:320-356).
+  - path continuation: 50/50 spec/diff direction, mixture pdf
+    0.5*(pdf_diff+pdf_spec), beta *= f_sample/pdf_sample (logic:187).
+  - termination: path length > max_depth or extension miss (logic:142-148);
+    zero f_sample or pdf_sample terminates (logic:183-186).
+  - Russian roulette after bounce 3: q = max(0.05, 1 - beta.y)
+    (logic:189-196).
+  - ray offsets: shadow ray pos + 0.01*n (logic:214), brdf-visibility ray
+    pos + 0.001*wi (mat_mix:333), extension ray pos + 0.001*n (mat_mix:358).
+  - uniform light selection from the [env, directionals...] table
+    (logic:209-212).
+  - NOTE (matching a subtle reference behavior): with max_depth D the last
+    hit's direct lighting is computed but never accumulated (logic jumps to
+    TERMINATE before the len>1 block when len > D), so only hits 1..D-1
+    receive next-event estimation.  We skip that wasted work entirely.
+
+Fixed reference bugs (reproduce with `reference_quirks=True`; SURVEY.md §7):
+  - background adds env radiance once, not nmb_lights times
+    (logic:135-138 loop bug).
+  - uniform light selection divides by the selection probability
+    (multiplies by nmb_lights); the reference omits it.
+  - Russian-roulette survivors' throughput is divided by (1-q); the
+    reference computes the division into a discarded local (logic:195).
+
+Differentiability: detached-sampling path-replay gradients — sampled
+directions, pdfs, MIS weights, RR decisions and all intersections are
+stop-gradient'd; f terms, light radiance and env texels carry gradients.
+Each sample is wrapped in jax.checkpoint, so the backward pass re-traces the
+path with the same threefry keys instead of storing per-bounce state
+(path-replay backpropagation, SURVEY.md §7 step 8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mc_path_tracer_tpu.models import camera as camera_mod
+from mc_path_tracer_tpu.models import lights as lights_mod
+from mc_path_tracer_tpu.models.film import Film, make_film, tile_grid
+from mc_path_tracer_tpu.models.scene import SceneData
+from mc_path_tracer_tpu.ops import brdf, rng
+from mc_path_tracer_tpu.ops.intersect import (
+    intersect_brute,
+    intersect_bvh,
+    occluded_brute,
+    occluded_bvh,
+)
+from mc_path_tracer_tpu.ops.sampling import power_heuristic
+
+sg = jax.lax.stop_gradient
+
+# reference constants (wavefront_kernels.cu)
+SHADOW_OFFSET = 0.01      # logic:214
+VIS_OFFSET = 0.001        # mat_mix:333
+EXT_OFFSET = 0.001        # mat_mix:358
+RR_START = 3              # logic:189
+RR_MIN_Q = 0.05           # logic:191
+DEFAULT_SPP = 250         # logic:124 hardcoded sample gate
+DEFAULT_MAX_DEPTH = 5     # logic:142-148
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static integrator configuration (hashable; jit-static)."""
+
+    spp: int = DEFAULT_SPP
+    max_depth: int = DEFAULT_MAX_DEPTH
+    accel: str = "bvh"             # "bvh" | "brute"
+    max_leaf: int = 4
+    jitter: bool = False           # reference shoots pixel centers only
+    reference_quirks: bool = False
+    rr_start: int = RR_START
+
+
+def _intersect(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
+    if cfg.accel == "brute":
+        return intersect_brute(scene.tris, ro, rd)
+    return intersect_bvh(scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask)
+
+
+def _occluded(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
+    if cfg.accel == "brute":
+        return occluded_brute(scene.tris, ro, rd)
+    return occluded_bvh(scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask)
+
+
+def _env_radiance(lights: lights_mod.LightSet, d: jnp.ndarray) -> jnp.ndarray:
+    zero = jnp.zeros(d.shape[:-1], jnp.int32)
+    return lights_mod.radiance(lights, zero, d)
+
+
+def trace_radiance(
+    scene: SceneData,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Path-trace one sample for each input ray; returns radiance [R, 3].
+
+    This is the fused logic/generate/mat_mix/extend/shadow program; the
+    bounce loop is unrolled (max_depth is static and small).
+    """
+    num_rays = ray_o.shape[0]
+    lights = scene.lights
+    n_lights = lights_mod.num_lights(lights)
+
+    l_out = jnp.zeros((num_rays, 3), jnp.float32)
+    beta = jnp.ones((num_rays, 3), jnp.float32)
+
+    # primary hit (wf_generate + first wf_extend)
+    isect = jax.tree.map(sg, _intersect(scene, cfg, ray_o, ray_d))
+
+    # background on primary miss (logic:128-140).  Quirk mode replicates the
+    # reference's loop that adds env radiance once per light in the table.
+    bg = _env_radiance(lights, ray_d)
+    bg_scale = float(n_lights) if cfg.reference_quirks else 1.0
+    l_out = l_out + jnp.where(isect.hit[..., None], 0.0, bg * bg_scale)
+
+    alive = isect.hit
+    wo = -ray_d
+
+    # NEE happens at hits 1..max_depth-1 (see module docstring).
+    for bounce in range(1, cfg.max_depth):
+        u = rng.uniforms(jax.random.fold_in(key, bounce), (num_rays,), 10)
+        u = sg(u)
+        pos, n = isect.position, isect.normal
+        mat = scene.materials.gather(isect.material_id)
+
+        # ---- light selection (logic:209-212) ----
+        l_id = jnp.minimum((u[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
+        wl = sg(lights_mod.sample_dir(lights, l_id, u[:, 1:3]))
+        delta = lights_mod.is_delta(lights, l_id)
+
+        # ---- shadow ray (wf_shadow; offset logic:214) ----
+        shadow_o = pos + n * SHADOW_OFFSET
+        visible = ~_occluded(scene, cfg, shadow_o, wl, mask=alive) & alive
+
+        # ---- light-sample estimator (mat_mix:320-329) ----
+        f_light = brdf.mixture_f(mat, n, wl, wo)
+        li_light = lights_mod.radiance(lights, l_id, wl)
+        pdf_light = sg(lights_mod.pdf(lights, l_id, wl))
+        pdf_brdf_at_wl = sg(
+            jnp.where(delta, 1.0, brdf.mixture_pdf(mat, n, wl, wo))
+        )
+
+        # ---- brdf-sample estimator (mat_mix:331-345), non-delta lights ----
+        wb = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 3], u[:, 4:6]))
+        vis2 = (
+            ~_occluded(scene, cfg, pos + wb * VIS_OFFSET, wb, mask=alive & ~delta)
+            & ~delta
+            & alive
+        )
+        f_brdf = jnp.where(vis2[..., None], brdf.mixture_f(mat, n, wb, wo), 0.0)
+        li_brdf = jnp.where(vis2[..., None], lights_mod.radiance(lights, l_id, wb), 0.0)
+        pdf_brdf = sg(jnp.where(vis2, brdf.mixture_pdf(mat, n, wb, wo), 1.0))
+        pdf_light_at_wb = sg(jnp.where(vis2, lights_mod.pdf(lights, l_id, wb), 1.0))
+
+        # ---- MIS combine (logic:169-180) ----
+        # Delta lights: the reference feeds the power heuristic a placeholder
+        # brdf pdf of 1 (mat_mix:329 else-branch), which halves delta-light
+        # energy (w = ph(1,1,1,1) = 0.5 and the brdf estimator contributes 0).
+        # Fixed default: delta lights take the light-sample estimator at full
+        # weight (no brdf strategy can hit a delta light).
+        w1 = sg(power_heuristic(1, pdf_light, 1, pdf_brdf_at_wl))
+        if not cfg.reference_quirks:
+            w1 = jnp.where(delta, 1.0, w1)
+        w2 = sg(power_heuristic(1, pdf_brdf, 1, pdf_light_at_wb))
+        ld = jnp.where(
+            (visible & (pdf_light > 0.0) & (w1 > 0.0))[..., None],
+            f_light * li_light * (w1 / jnp.maximum(pdf_light, 1e-20))[..., None],
+            0.0,
+        )
+        ld = ld + jnp.where(
+            (vis2 & (pdf_brdf > 0.0) & (w2 > 0.0))[..., None],
+            f_brdf * li_brdf * (w2 / jnp.maximum(pdf_brdf, 1e-20))[..., None],
+            0.0,
+        )
+        if not cfg.reference_quirks:
+            ld = ld * float(n_lights)  # uniform-selection compensation (fixed bug)
+        l_out = l_out + jnp.where(alive[..., None], beta * ld, 0.0)
+
+        # ---- path continuation sample (mat_mix:347-371, logic:183-187) ----
+        ws = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 6], u[:, 7:9]))
+        pdf_s = sg(brdf.mixture_pdf(mat, n, ws, wo))
+        f_s = brdf.mixture_f(mat, n, ws, wo)
+        cont_ok = (pdf_s > 0.0) & jnp.any(sg(f_s) != 0.0, axis=-1)
+        beta = jnp.where(
+            alive[..., None],
+            beta * f_s / jnp.maximum(pdf_s, 1e-20)[..., None],
+            beta,
+        )
+        alive = alive & cont_ok
+
+        # ---- Russian roulette (logic:189-196; fixed survivor division) ----
+        if bounce >= cfg.rr_start:
+            q = jnp.maximum(RR_MIN_Q, 1.0 - sg(beta[:, 1]))
+            kill = u[:, 9] < q
+            alive = alive & ~kill
+            if not cfg.reference_quirks:
+                beta = beta / jnp.maximum(1.0 - sg(q), RR_MIN_Q)[..., None]
+
+        # ---- extension (wf_extend), only if another NEE bounce follows ----
+        if bounce < cfg.max_depth - 1:
+            ray_o = pos + n * EXT_OFFSET
+            ray_d = ws
+            wo = -ray_d
+            isect = jax.tree.map(
+                sg, _intersect(scene, cfg, ray_o, ray_d, mask=alive)
+            )
+            alive = alive & isect.hit
+
+    return l_out
+
+
+def _sample_pass(scene, cfg, camera, width, height, px, py, key, sample_idx):
+    """One spp pass over all pixels (checkpointed: path-replay backward)."""
+    skey = jax.random.fold_in(key, sample_idx)
+    shape = px.shape
+    if cfg.jitter:
+        uj = rng.uniforms(jax.random.fold_in(skey, 1_000_003), shape, 2)
+        pxj = px + uj[..., 0] - 0.5
+        pyj = py + uj[..., 1] - 0.5
+    else:
+        pxj, pyj = px, py  # pixel centers, as the reference (Camera.cu:21-22)
+    lens_u = rng.uniforms(jax.random.fold_in(skey, 1_000_007), shape, 2)
+    ro, rd = camera_mod.gen_camera_rays(camera, width, height, pxj, pyj, lens_u)
+    return trace_radiance(scene, ro, rd, skey, cfg)
+
+
+def render_tile_radiance(
+    scene: SceneData,
+    camera: "camera_mod.CameraParams",
+    width: int,
+    height: int,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+    spp: int | None = None,
+) -> jnp.ndarray:
+    """Accumulated radiance sum over `spp` samples for pixels (px, py) — the
+    device-side core shared by render() and the sharded renderer."""
+    spp = cfg.spp if spp is None else spp
+    sample = jax.checkpoint(
+        lambda s: _sample_pass(scene, cfg, camera, width, height, px, py, key, s),
+        policy=jax.checkpoint_policies.nothing_saveable,
+    )
+
+    def body(carry, s):
+        return carry + sample(s), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros(px.shape + (3,), jnp.float32), jnp.arange(spp)
+    )
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "spp"))
+def _render_full(scene, camera, key, cfg, width, height, spp):
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    px = xs.reshape(-1).astype(jnp.float32)
+    py = ys.reshape(-1).astype(jnp.float32)
+    acc = render_tile_radiance(scene, camera, width, height, px, py, key, cfg, spp)
+    return acc.reshape(height, width, 3)
+
+
+def render(
+    scene,
+    camera,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    key: jax.Array | None = None,
+) -> Film:
+    """Render a full frame (PathTracer::render_image equivalent, batched over
+    all tiles and samples).  `scene` is a Scene (built on the fly) or a
+    SceneData pytree."""
+    scene_data = scene.build() if hasattr(scene, "build") else scene
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cam_params = _camera_params(camera, width, height)
+    acc = _render_full(scene_data, cam_params, key, cfg, width, height, cfg.spp)
+    return Film(ld=acc, samples=jnp.full((height, width), cfg.spp, jnp.float32))
+
+
+def render_progressive(
+    scene,
+    camera,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    key: jax.Array | None = None,
+    tile: int = 256,
+    spp_per_pass: int = 1,
+):
+    """Progressive generator: yields a Film after each (tile, pass) step,
+    mirroring the reference's one-tile-per-frame round-robin
+    (Film.cu:94-103, PathTracer.cpp:112-131).  Re-invoking after editing the
+    scene restarts accumulation (observer semantics)."""
+    scene_data = scene.build() if hasattr(scene, "build") else scene
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cam_params = _camera_params(camera, width, height)
+    film = make_film(width, height)
+
+    @partial(jax.jit, static_argnames=("tw", "th"))
+    def tile_pass(scene_d, cam, x0, y0, k, tw, th):
+        ys, xs = jnp.mgrid[0:th, 0:tw]
+        px = (xs.reshape(-1) + x0).astype(jnp.float32)
+        py = (ys.reshape(-1) + y0).astype(jnp.float32)
+        acc = render_tile_radiance(
+            scene_d, cam, width, height, px, py, k, cfg, spp_per_pass
+        )
+        return acc.reshape(th, tw, 3)
+
+    passes = (cfg.spp + spp_per_pass - 1) // spp_per_pass
+    for p in range(passes):
+        for i, (x0, y0, tw, th) in enumerate(tile_grid(width, height, tile)):
+            k = jax.random.fold_in(jax.random.fold_in(key, p), i)
+            acc = tile_pass(scene_data, cam_params, x0, y0, k, tw, th)
+            film = Film(
+                ld=film.ld.at[y0 : y0 + th, x0 : x0 + tw].add(acc),
+                samples=film.samples.at[y0 : y0 + th, x0 : x0 + tw].add(
+                    float(spp_per_pass)
+                ),
+            )
+            yield film
+
+
+def _camera_params(camera, width, height):
+    """Accept a host PerspectiveCamera (aspect set from the film size,
+    RenderWindow.cpp:23-27) or ready-made CameraParams."""
+    if isinstance(camera, camera_mod.CameraParams):
+        return camera
+    import dataclasses
+
+    camera = dataclasses.replace(camera, aspect=width / height)
+    return camera.params()

@@ -1,0 +1,198 @@
+"""Scene: host-side assembly of flat device arrays + acceleration structure.
+
+Mirrors the reference's Scene layer (Scene.{h,cu}) with a TPU-native data
+model: instead of managed-memory object graphs (dTriangle -> dMaterial* /
+dTransform* pointers, device vtable lights), the scene compiles to a single
+`SceneData` pytree of indexed SoA arrays (SURVEY.md §7 design stance).
+
+Parity behaviors:
+  - Scene::load imports a model file with world-space baking
+    (Scene.cu:24-232) -> utils/gltf.load_gltf here.
+  - transfer_data_to_device + d_build_bvh (Scene.cu:363-469) -> build():
+    triangle gather, BVH build (native SAH by default; LBVH/Middle/Equal
+    available), leaf-order triangle reorder.
+  - the light table is [environment, directionals...] (Scene.cu:367-388).
+  - a default Color-mode environment light always exists (Scene.cu:11-14).
+  - Subject/Observer progressive-restart: edits bump `version`; render
+    sessions clear accumulation when they observe a version change
+    (Subject.cpp / Film.cu:278-281 semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dataclass_field
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mc_path_tracer_tpu.models import lights as lights_mod
+from mc_path_tracer_tpu.models.materials import MaterialTable, make_material_table
+from mc_path_tracer_tpu.ops.bvh import build_bvh
+from mc_path_tracer_tpu.ops.intersect import BVHArrays, TriangleSoA
+from mc_path_tracer_tpu.utils import native
+from mc_path_tracer_tpu.utils.gltf import load_gltf
+from mc_path_tracer_tpu.utils.image import load_hdr
+
+
+class SceneData(NamedTuple):
+    """Device scene: everything the integrator needs, as one pytree
+    (the reference's dScene, Scene.h:24-33)."""
+
+    tris: TriangleSoA
+    bvh: BVHArrays
+    materials: MaterialTable
+    lights: lights_mod.LightSet
+
+
+def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
+    p = np.asarray(positions, np.float32)
+    n = np.asarray(normals, np.float32)
+    uv = np.asarray(uvs, np.float32)
+    idx = np.asarray(indices, np.int64)
+    v0, v1, v2 = p[idx[:, 0]], p[idx[:, 1]], p[idx[:, 2]]
+    e1, e2 = v1 - v0, v2 - v0
+    fn = np.cross(e1, e2)
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    t = idx.shape[0]
+    mat = np.full(t, material_id, np.int32)
+    return TriangleSoA(
+        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        n0=jnp.asarray(n[idx[:, 0]]), n1=jnp.asarray(n[idx[:, 1]]),
+        n2=jnp.asarray(n[idx[:, 2]]),
+        uv0=jnp.asarray(uv[idx[:, 0]]), uv1=jnp.asarray(uv[idx[:, 1]]),
+        uv2=jnp.asarray(uv[idx[:, 2]]),
+        material_id=jnp.asarray(mat),
+        face_normal=jnp.asarray(fn.astype(np.float32)),
+    )
+
+
+def concat_soa(parts: list[TriangleSoA]) -> TriangleSoA:
+    return TriangleSoA(*[jnp.concatenate(cols, axis=0) for cols in zip(*parts)])
+
+
+@dataclass
+class Scene:
+    """Mutable host scene; `build()` compiles it to a SceneData pytree."""
+
+    meshes: list[TriangleSoA] = dataclass_field(default_factory=list)
+    material_albedo: list = dataclass_field(default_factory=list)
+    material_roughness: list = dataclass_field(default_factory=list)
+    material_metallic: list = dataclass_field(default_factory=list)
+    material_emissive: list = dataclass_field(default_factory=list)
+    material_fresnel: list = dataclass_field(default_factory=list)
+    env: lights_mod.EnvLight = dataclass_field(
+        default_factory=lights_mod.make_env_color
+    )
+    directional: list = dataclass_field(default_factory=list)  # (dir, color, ls)
+    point_lights: list = dataclass_field(default_factory=list)  # parity stubs
+    bvh_method: int = native.SAH
+    max_leaf: int = 4
+    version: int = 0  # Subject/Observer notify counter
+
+    # -- editing API (each edit bumps version -> progressive restart) -------
+
+    def notify(self):
+        self.version += 1
+
+    def add_material(
+        self, albedo=(1, 1, 1), roughness=1.0, metallic=0.0,
+        emissive=(0, 0, 0), fresnel=(0.04, 0.04, 0.04),
+    ) -> int:
+        self.material_albedo.append(np.asarray(albedo, np.float32)[:3])
+        self.material_roughness.append(float(roughness))
+        self.material_metallic.append(float(metallic))
+        self.material_emissive.append(np.asarray(emissive, np.float32)[:3])
+        self.material_fresnel.append(np.asarray(fresnel, np.float32)[:3])
+        self.notify()
+        return len(self.material_albedo) - 1
+
+    def add_mesh(self, positions, indices, normals=None, uvs=None, material_id=0):
+        positions = np.asarray(positions, np.float32)
+        indices = np.asarray(indices)
+        if normals is None:
+            from mc_path_tracer_tpu.utils.gltf import _smooth_normals
+
+            normals = _smooth_normals(positions, np.asarray(indices, np.int64))
+        if uvs is None:
+            uvs = np.zeros((positions.shape[0], 2), np.float32)
+        self.meshes.append(_mesh_to_soa(positions, normals, uvs, indices, material_id))
+        self.notify()
+
+    def load(self, path: str, reference_material_quirk: bool = False):
+        """Scene::load equivalent (Scene.cu:24): import a .glb with world
+        baking; materials are appended to the scene's table."""
+        data = load_gltf(path, reference_material_quirk=reference_material_quirk)
+        base = len(self.material_albedo)
+        for m in data.materials:
+            self.add_material(
+                albedo=m.base_color[:3],
+                roughness=m.roughness,
+                metallic=m.metallic,
+                emissive=m.emissive,
+            )
+        for mesh in data.meshes:
+            self.meshes.append(
+                _mesh_to_soa(
+                    mesh.positions, mesh.normals, mesh.uvs, mesh.indices,
+                    base + mesh.material,
+                )
+            )
+        self.notify()
+        return self
+
+    def set_environment_color(self, color=(1, 1, 1), ls=1.0):
+        self.env = lights_mod.make_env_color(color, ls)
+        self.notify()
+
+    def set_environment_hdr(self, path_or_array, ls=1.0):
+        tex = (
+            load_hdr(path_or_array)
+            if isinstance(path_or_array, str)
+            else np.asarray(path_or_array, np.float32)
+        )
+        self.env = lights_mod.make_env_hdri(tex, ls)
+        self.notify()
+
+    def add_directional_light(self, direction, color=(1, 1, 1), ls=1.0):
+        self.directional.append(
+            (np.asarray(direction, np.float32), np.asarray(color, np.float32), float(ls))
+        )
+        self.notify()
+
+    def add_point_light(self, position, color=(1, 1, 1), ls=1.0):
+        """Parity stub: stored but non-illuminating (reference PointLight has
+        no device implementation)."""
+        self.point_lights.append(lights_mod.PointLight(
+            np.asarray(position, np.float32), np.asarray(color, np.float32), ls
+        ))
+        self.notify()
+
+    # -- compilation ---------------------------------------------------------
+
+    def build(self) -> SceneData:
+        if not self.meshes:
+            raise ValueError("Scene has no geometry")
+        if not self.material_albedo:
+            self.add_material()
+        tris = concat_soa(self.meshes)
+        bvh, tris = build_bvh(tris, max_leaf=self.max_leaf, method=self.bvh_method)
+        materials = make_material_table(
+            np.stack(self.material_albedo),
+            np.asarray(self.material_roughness, np.float32),
+            np.asarray(self.material_metallic, np.float32),
+            fresnel=np.stack(self.material_fresnel),
+            emissive=np.stack(self.material_emissive),
+        )
+        if self.directional:
+            dl = lights_mod.make_directional(
+                np.stack([d for d, _, _ in self.directional]),
+                np.stack([c for _, c, _ in self.directional]),
+                np.asarray([s for _, _, s in self.directional], np.float32),
+            )
+        else:
+            dl = lights_mod.empty_directional()
+        return SceneData(
+            tris=tris, bvh=bvh, materials=materials,
+            lights=lights_mod.LightSet(env=self.env, directional=dl),
+        )

@@ -1,0 +1,109 @@
+"""BVH construction front-end: native C++ builders with a numpy fallback.
+
+Replaces the reference's host SAH build + thrust reorder pipeline
+(Scene.cu:400-469, BVH.cu:53-334) with: per-triangle world bounds -> native
+builder (SAH/Middle/EqualCounts/LBVH, native/bvh.cpp) -> threaded depth-first
+node arrays + triangle reorder, consumed by ops/intersect.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mc_path_tracer_tpu.ops.intersect import BVHArrays, TriangleSoA
+from mc_path_tracer_tpu.utils import native
+
+
+def triangle_bounds(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """World AABBs per triangle (reference init_BVH_triangle_info,
+    mesh_initialization_kernels.cu:63-94)."""
+    v1 = v0 + e1
+    v2 = v0 + e2
+    bmin = np.minimum(np.minimum(v0, v1), v2)
+    bmax = np.maximum(np.maximum(v0, v1), v2)
+    return bmin, bmax
+
+
+def _numpy_build(bmin, bmax, max_leaf):
+    """Median (EqualCounts) recursive fallback builder in pure numpy."""
+    n = bmin.shape[0]
+    centroid = 0.5 * (bmin + bmax)
+    nodes = []  # dicts: bmin,bmax,first,count, subtree (filled after)
+    ordered: list[int] = []
+
+    def build(idx: np.ndarray):
+        node_bmin = bmin[idx].min(axis=0)
+        node_bmax = bmax[idx].max(axis=0)
+        me = len(nodes)
+        nodes.append(
+            {"bmin": node_bmin, "bmax": node_bmax, "first": 0, "count": 0, "size": 1}
+        )
+        if idx.shape[0] <= max_leaf:
+            nodes[me]["first"] = len(ordered)
+            nodes[me]["count"] = idx.shape[0]
+            ordered.extend(idx.tolist())
+            return me
+        c = centroid[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = idx.shape[0] // 2
+        l = build(idx[order[:half]])
+        r = build(idx[order[half:]])
+        nodes[me]["size"] = 1 + nodes[l]["size"] + nodes[r]["size"]
+        return me
+
+    build(np.arange(n))
+    nn = len(nodes)
+    out_bmin = np.stack([nd["bmin"] for nd in nodes]).astype(np.float32)
+    out_bmax = np.stack([nd["bmax"] for nd in nodes]).astype(np.float32)
+    first = np.array([nd["first"] for nd in nodes], np.int32)
+    count = np.array([nd["count"] for nd in nodes], np.int32)
+    skip = np.array([i + nd["size"] for i, nd in enumerate(nodes)], np.int32)
+    assert nn <= 2 * n
+    return out_bmin, out_bmax, first, count, skip, np.array(ordered, np.int32)
+
+
+def build_bvh(
+    tris: TriangleSoA, max_leaf: int = 4, method: int = native.SAH
+) -> tuple[BVHArrays, TriangleSoA]:
+    """Build the acceleration structure and reorder triangles by leaf order
+    (the thrust::gather step of Scene.cu:459-469).
+
+    Returns (bvh, reordered_tris); `method` is one of utils.native.{SAH,
+    MIDDLE, EQUAL_COUNTS, LBVH}.
+    """
+    v0 = np.asarray(tris.v0, np.float32)
+    e1 = np.asarray(tris.e1, np.float32)
+    e2 = np.asarray(tris.e2, np.float32)
+    bmin, bmax = triangle_bounds(v0, e1, e2)
+
+    result = native.bvh_build_native(bmin, bmax, max_leaf=max_leaf, method=method)
+    if result is None:
+        result = _numpy_build(bmin, bmax, max_leaf)
+    nb_min, nb_max, first, count, skip, order = result
+
+    def reorder(a):
+        return jnp.asarray(np.asarray(a)[order])
+
+    new_tris = TriangleSoA(
+        v0=reorder(tris.v0),
+        e1=reorder(tris.e1),
+        e2=reorder(tris.e2),
+        n0=reorder(tris.n0),
+        n1=reorder(tris.n1),
+        n2=reorder(tris.n2),
+        uv0=reorder(tris.uv0),
+        uv1=reorder(tris.uv1),
+        uv2=reorder(tris.uv2),
+        material_id=reorder(tris.material_id),
+        face_normal=reorder(tris.face_normal),
+    )
+    bvh = BVHArrays(
+        bmin=jnp.asarray(nb_min),
+        bmax=jnp.asarray(nb_max),
+        first=jnp.asarray(first),
+        count=jnp.asarray(count),
+        skip=jnp.asarray(skip),
+    )
+    return bvh, new_tris

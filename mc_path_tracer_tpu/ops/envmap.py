@@ -1,0 +1,156 @@
+"""Importance-sampled HDR environment light: CDF build, sampling, pdf, lookup.
+
+Parity with the reference's environment light machinery:
+  - pdf_denom = sum over texels of luminance * sin(pi * y/H)
+    (light_initialization_kernels.cu:3-26).
+  - marginal row distribution marginal_p[y] = sin(pi*y/H)/denom * row-sum of
+    luminance, with row CDF marginal_y (..cu:27-55).
+  - per-row conditional column CDF conds_y[y][x] = cumsum_x(lum * sin/denom /
+    marginal_p[y]) (..cu:56-84).
+  - pdf texture = lum * sin / denom per texel (..cu:85-112); directional pdf
+    pdf(wi) = pdf_texel * (W*H) / (2 * pi^2 * sin(theta))
+    (EnvironmentLight.cu:65-85, nearest-texel lookup at
+    (int(u*(W-1)), int(v*(H-1)))).
+  - sampling: two uniforms -> binary search row CDF then column CDF ->
+    uv = (x/W, y/H) -> equirect direction (EnvironmentLight.cu:10-33 with
+    upper_bound, Helpers.cu:15-30; searchsorted here).
+  - radiance lookup L(wi): bilinear, wrap-addressed equirect fetch
+    (EnvironmentLight.cu:34-47; texture objects are bilinear+wrap,
+    dTexture.cu:107-113).
+  - Color mode: uniform-sphere direction, L = color*ls, pdf = 1/(4 pi)
+    (EnvironmentLight.cu:12-17, 36-39, 67-70).
+
+The reference's O(W*H) single-thread build kernels become two vectorized
+prefix sums; everything is jnp so gradients flow to the env texels.
+
+Deviation (documented): the reference's build kernels read the HDR via a
+half-texel-shifted bilinear fetch (tex2D at u = x/W lands between texels
+x-1 and x); we read texel values directly — the resulting distribution
+differs by a sub-texel shift, within Monte Carlo noise at 250 spp.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mc_path_tracer_tpu.ops.math import (
+    INV_4PI,
+    PI,
+    equirect_dir,
+    equirect_uv,
+    luminance,
+)
+from mc_path_tracer_tpu.ops.sampling import sample_uniform_sphere
+
+COLOR_MODE = 0
+HDRI_MODE = 1
+
+
+class EnvMapDistribution(NamedTuple):
+    """CDF tables for environment importance sampling (dEnvironmentLight
+    fields, EnvironmentLight.h:17-40)."""
+
+    marginal_cdf: jnp.ndarray  # [H] row CDF P(y)
+    cond_cdf: jnp.ndarray      # [H, W] per-row column CDF P(x|y)
+    pdf_texture: jnp.ndarray   # [H, W] per-texel pdf (lum * sin / denom)
+
+
+def build_distribution(tex: jnp.ndarray) -> EnvMapDistribution:
+    """Build sampling tables from an equirect HDR texture [H, W, 3]."""
+    h, w = tex.shape[0], tex.shape[1]
+    lum = luminance(tex)                                     # [H, W]
+    v = jnp.arange(h, dtype=jnp.float32) / h                 # v = y/H (ref convention)
+    sin_theta = jnp.sin(PI * v)                              # [H]
+    weighted = lum * sin_theta[:, None]                      # [H, W]
+    denom = jnp.maximum(jnp.sum(weighted), 1e-20)
+    pdf_texture = weighted / denom
+    marginal_p = jnp.sum(pdf_texture, axis=1)                # [H]
+    marginal_cdf = jnp.cumsum(marginal_p)
+    cond_p = pdf_texture / jnp.maximum(marginal_p[:, None], 1e-20)
+    cond_cdf = jnp.cumsum(cond_p, axis=1)
+    return EnvMapDistribution(marginal_cdf, cond_cdf, pdf_texture)
+
+
+def sample_direction(
+    dist: EnvMapDistribution, u: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw directions from the env distribution; u is [..., 2] uniforms.
+
+    Returns (wi [..., 3], uv [..., 2]) with uv = (x/W, y/H) exactly as the
+    reference quantizes (EnvironmentLight.cu:26-29).
+    """
+    h, w = dist.cond_cdf.shape
+    ey, ex = u[..., 1], u[..., 0]
+    y = jnp.clip(jnp.searchsorted(dist.marginal_cdf, ey, side="right"), 0, h - 1)
+    row_cdf = dist.cond_cdf[y]                 # gather rows [..., W]
+    x = jnp.clip(
+        jnp.sum((row_cdf <= ex[..., None]).astype(jnp.int32), axis=-1), 0, w - 1
+    )
+    uv = jnp.stack([x.astype(jnp.float32) / w, y.astype(jnp.float32) / h], axis=-1)
+    return equirect_dir(uv), uv
+
+
+def pdf(dist: EnvMapDistribution, wi: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of wi (EnvironmentLight.cu:65-85).
+
+    Deviation (documented, SURVEY.md §7 quirk class): the reference reads the
+    pdf texel at (int(u*(W-1)), int(v*(H-1))) while its sampler quantizes
+    uv = (x/W, y/H) — an off-by-one that returns the *neighboring* texel's
+    pdf for its own samples, which breaks the f/pdf Monte Carlo identity
+    around hot texels (e.g. a sun).  Samples land exactly on texel corners
+    (uv = x/W), so we bin by *rounding* u*W — the sampled texel and its pdf
+    then always agree, robust to the equirect round-trip's float error.
+    """
+    h, w = dist.pdf_texture.shape
+    uv = equirect_uv(wi)
+    ix = jnp.mod(jnp.round(uv[..., 0] * w).astype(jnp.int32), w)
+    iy = jnp.clip(jnp.round(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    p = dist.pdf_texture[iy, ix]
+    sin_theta = jnp.sin(PI * uv[..., 1])
+    return jnp.where(
+        sin_theta > 0.0,
+        p * (w * h) / (2.0 * PI * PI * jnp.maximum(sin_theta, 1e-20)),
+        0.0,
+    )
+
+
+def bilinear_wrap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear, wrap-addressed texture fetch matching CUDA texture sampling
+    (normalized coords; texel centers at (i+0.5)/N; dTexture.cu:107-113)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
+    t00 = tex[y0i, x0i]
+    t01 = tex[y0i, x1i]
+    t10 = tex[y1i, x0i]
+    t11 = tex[y1i, x1i]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t01 * fx * (1 - fy)
+        + t10 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+
+
+def radiance(tex: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """L(wi): equirect bilinear lookup (EnvironmentLight.cu:34-47)."""
+    return bilinear_wrap(tex, equirect_uv(wi))
+
+
+def sample_color_mode(u: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-sphere direction for Color-mode env lights."""
+    return sample_uniform_sphere(u)
+
+
+def pdf_color_mode(wi: jnp.ndarray) -> jnp.ndarray:
+    return jnp.full(wi.shape[:-1], INV_4PI, dtype=wi.dtype)

@@ -1,0 +1,307 @@
+"""Ray-triangle intersection and BVH traversal, vectorized for TPU.
+
+Parity targets (reference: CUDA-RayTracer/Triangle.cu):
+  - Moller-Trumbore with backface culling: det < K_EPSILON rejects
+    (Triangle.cu:7, 19-40, the TEST_CULL path); t < 0 rejects (Triangle.cu:74).
+  - Barycentric attribute convention u*a1 + v*a2 + (1-u-v)*a0
+    (Triangle.cu:76-79).
+  - Closest-hit returns position/shading-normal/uv/t/material id; any-hit is
+    an early-out boolean (Triangle.cu:144-248).
+
+TPU-native design (not a port):
+  - The reference traverses a binary BVH with a 64-deep per-thread stack
+    (Triangle.cu:156-200).  Divergent per-lane stacks are hostile to an
+    8x128-lane vector unit, so we use a *threaded* (skip-link) BVH laid out
+    in depth-first order: every ray carries only a current node index; on an
+    AABB hit it advances to idx+1 (first child), on a miss (or after testing
+    a leaf) it jumps to the node's skip link.  All lanes execute an identical
+    instruction sequence; the only divergence is the gathered node index —
+    which XLA lowers to a dense gather.  Front-to-back ordering is traded for
+    uniform control flow; correctness is preserved because leaf hits shrink
+    t_best which tightens subsequent AABB rejection.
+  - Leaves hold up to `max_leaf_prims` contiguous triangles (triangles are
+    reordered at build so a static, masked inner loop covers them).
+  - A dense "brute force" path (all rays x all triangles, tiled) is provided
+    for tiny scenes and as the ground truth oracle for BVH tests.
+
+Everything here is wrapped in stop_gradient by the integrator: intersection
+outputs depend on scene geometry only, which is not differentiated (gradients
+target materials / light radiance / env texels; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE, normalize
+
+
+class TriangleSoA(NamedTuple):
+    """Flat world-space triangle arrays (replacing dTriangle's pointer-rich
+    struct, Triangle.h:11-23, with indexed SoA)."""
+
+    v0: jnp.ndarray          # [T, 3]
+    e1: jnp.ndarray          # [T, 3] v1 - v0
+    e2: jnp.ndarray          # [T, 3] v2 - v0
+    n0: jnp.ndarray          # [T, 3] shading normals
+    n1: jnp.ndarray          # [T, 3]
+    n2: jnp.ndarray          # [T, 3]
+    uv0: jnp.ndarray         # [T, 2]
+    uv1: jnp.ndarray         # [T, 2]
+    uv2: jnp.ndarray         # [T, 2]
+    material_id: jnp.ndarray  # [T] int32
+    face_normal: jnp.ndarray  # [T, 3]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.v0.shape[0]
+
+
+class BVHArrays(NamedTuple):
+    """Threaded (skip-link) BVH in depth-first order.
+
+    node i: AABB [bmin, bmax]; if count > 0 it is a leaf owning triangles
+    [first, first+count) of the reordered TriangleSoA; skip is the node to
+    visit when the AABB misses (or after a leaf) — the DFS successor of the
+    subtree.  skip == num_nodes terminates traversal.
+    """
+
+    bmin: jnp.ndarray   # [N, 3] f32
+    bmax: jnp.ndarray   # [N, 3] f32
+    first: jnp.ndarray  # [N] int32 (leaf: triangle offset; inner: unused)
+    count: jnp.ndarray  # [N] int32 (0 for inner nodes)
+    skip: jnp.ndarray   # [N] int32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.bmin.shape[0]
+
+
+class Hit(NamedTuple):
+    """Vectorized intersection record (reference Isect, Isect.cuh:4-16)."""
+
+    hit: jnp.ndarray          # [R] bool
+    t: jnp.ndarray            # [R]
+    tri_id: jnp.ndarray       # [R] int32 (-1 on miss)
+    position: jnp.ndarray     # [R, 3]
+    normal: jnp.ndarray       # [R, 3] interpolated shading normal
+    uv: jnp.ndarray           # [R, 2] texture coords
+    material_id: jnp.ndarray  # [R] int32
+
+
+def moller_trumbore(
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    v0: jnp.ndarray,
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+):
+    """Batched Moller-Trumbore with backface culling.
+
+    Inputs broadcast: rays [..., 3] against triangles [..., 3] (caller aligns
+    batch axes).  Returns (valid, t, u, v) with the reference's semantics:
+    det < K_EPSILON or t < 0 -> miss (Triangle.cu:19-40, 74).
+    """
+    pvec = jnp.cross(ray_d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.reciprocal(jnp.where(jnp.abs(det) > 1e-30, det, 1.0))
+    tvec = ray_o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(ray_d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (det >= K_EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= 0.0)
+    )
+    return valid, t, u, v
+
+
+def _shade_attrs(tris: TriangleSoA, tri_id, u, v, ray_o, ray_d, t, hit):
+    """Interpolate hit attributes with the reference's barycentric convention
+    u*a1 + v*a2 + (1-u-v)*a0 (Triangle.cu:76-79)."""
+    tid = jnp.maximum(tri_id, 0)
+    w = (1.0 - u - v)[..., None]
+    uu, vv = u[..., None], v[..., None]
+    n = normalize(uu * tris.n1[tid] + vv * tris.n2[tid] + w * tris.n0[tid])
+    uv = uu * tris.uv1[tid] + vv * tris.uv2[tid] + w * tris.uv0[tid]
+    pos = ray_o + t[..., None] * ray_d
+    mat = jnp.where(hit, tris.material_id[tid], 0)
+    return Hit(
+        hit=hit,
+        t=t,
+        tri_id=jnp.where(hit, tri_id, -1),
+        position=pos,
+        normal=n,
+        uv=uv,
+        material_id=mat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force (dense) intersection — oracle + tiny-scene fast path
+# ---------------------------------------------------------------------------
+
+
+def intersect_brute(tris: TriangleSoA, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
+    """Closest hit of rays [R, 3] against *all* triangles (dense [R, T])."""
+    ro = ray_o[:, None, :]
+    rd = ray_d[:, None, :]
+    valid, t, u, v = moller_trumbore(ro, rd, tris.v0[None], tris.e1[None], tris.e2[None])
+    t_masked = jnp.where(valid, t, K_HUGE)
+    best = jnp.argmin(t_masked, axis=-1)
+    r = jnp.arange(ray_o.shape[0])
+    t_best = t_masked[r, best]
+    hit = t_best < K_HUGE
+    return _shade_attrs(
+        tris, best.astype(jnp.int32), u[r, best], v[r, best], ray_o, ray_d, t_best, hit
+    )
+
+
+def occluded_brute(tris: TriangleSoA, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> jnp.ndarray:
+    """Any-hit: True where some triangle blocks the ray (reference
+    intersect_shadows, Triangle.cu:204-248; lights live at infinity so there
+    is no t_max)."""
+    ro = ray_o[:, None, :]
+    rd = ray_d[:, None, :]
+    valid, _, _, _ = moller_trumbore(ro, rd, tris.v0[None], tris.e1[None], tris.e2[None])
+    return jnp.any(valid, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Threaded-BVH traversal
+# ---------------------------------------------------------------------------
+
+
+def _slab_test(bmin, bmax, ray_o, inv_d, t_best):
+    """AABB slab test with precomputed inverse direction
+    (reference Bounds3f.h:121-153)."""
+    t0 = (bmin - ray_o) * inv_d
+    t1 = (bmax - ray_o) * inv_d
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tnear <= tfar) & (tfar >= 0.0) & (tnear <= t_best)
+
+
+def _traverse(
+    bvh: BVHArrays,
+    tris: TriangleSoA,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    max_leaf_prims: int,
+    any_hit: bool,
+    max_steps: int | None = None,
+    mask: jnp.ndarray | None = None,
+):
+    """Shared skip-link traversal loop.  Returns (t, tri_id, u, v) for
+    closest-hit, or a bool occlusion mask for any_hit=True.  Rays with
+    mask=False start at the terminal node and cost zero traversal steps
+    (the vectorized equivalent of the reference's queue compaction)."""
+    num_rays = ray_o.shape[0]
+    n_nodes = bvh.num_nodes
+    inv_d = jnp.reciprocal(
+        jnp.where(jnp.abs(ray_d) > 1e-12, ray_d, jnp.where(ray_d >= 0, 1e-12, -1e-12))
+    )
+    if max_steps is None:
+        max_steps = 4 * n_nodes + 8
+
+    # node data packed for a single gather per step
+    node_bmin, node_bmax = bvh.bmin, bvh.bmax
+    node_first, node_count, node_skip = bvh.first, bvh.count, bvh.skip
+
+    def cond(state):
+        idx, t_best, tri_id, u, v, occ, steps = state
+        active = idx < n_nodes
+        if any_hit:
+            active = active & ~occ
+        return jnp.any(active) & (steps < max_steps)
+
+    def body(state):
+        idx, t_best, tri_id, u_best, v_best, occ, steps = state
+        safe = jnp.minimum(idx, n_nodes - 1)
+        bmin = node_bmin[safe]
+        bmax = node_bmax[safe]
+        first = node_first[safe]
+        count = node_count[safe]
+        skip = node_skip[safe]
+        live = idx < n_nodes
+        if any_hit:
+            live = live & ~occ
+
+        box_hit = _slab_test(bmin, bmax, ray_o, inv_d, t_best) & live
+        is_leaf = (count > 0) & box_hit
+
+        # masked static loop over the (<= max_leaf_prims) leaf triangles
+        for k in range(max_leaf_prims):
+            in_leaf = is_leaf & (k < count)
+            tid = jnp.minimum(first + k, tris.num_triangles - 1)
+            valid, t, u, v = moller_trumbore(
+                ray_o, ray_d, tris.v0[tid], tris.e1[tid], tris.e2[tid]
+            )
+            valid = valid & in_leaf
+            if any_hit:
+                occ = occ | valid
+            else:
+                closer = valid & (t < t_best)
+                t_best = jnp.where(closer, t, t_best)
+                tri_id = jnp.where(closer, tid, tri_id)
+                u_best = jnp.where(closer, u, u_best)
+                v_best = jnp.where(closer, v, v_best)
+
+        # inner-node hit -> descend (DFS successor is idx+1); else skip
+        idx = jnp.where(live, jnp.where(box_hit & ~is_leaf, idx + 1, skip), idx)
+        return idx, t_best, tri_id, u_best, v_best, occ, steps + 1
+
+    start_idx = jnp.zeros(num_rays, jnp.int32)
+    if mask is not None:
+        start_idx = jnp.where(mask, start_idx, n_nodes)
+    state = (
+        start_idx,
+        jnp.full(num_rays, K_HUGE, jnp.float32),
+        jnp.full(num_rays, -1, jnp.int32),
+        jnp.zeros(num_rays, jnp.float32),
+        jnp.zeros(num_rays, jnp.float32),
+        jnp.zeros(num_rays, bool),
+        jnp.zeros((), jnp.int32),
+    )
+    idx, t_best, tri_id, u, v, occ, _ = jax.lax.while_loop(cond, body, state)
+    if any_hit:
+        return occ
+    return t_best, tri_id, u, v
+
+
+def intersect_bvh(
+    bvh: BVHArrays,
+    tris: TriangleSoA,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    max_leaf_prims: int = 4,
+    mask: jnp.ndarray | None = None,
+) -> Hit:
+    """Closest-hit traversal (reference intersect(), Triangle.cu:144-200)."""
+    t, tri_id, u, v = _traverse(
+        bvh, tris, ray_o, ray_d, max_leaf_prims, any_hit=False, mask=mask
+    )
+    hit = tri_id >= 0
+    return _shade_attrs(tris, tri_id, u, v, ray_o, ray_d, jnp.where(hit, t, K_HUGE), hit)
+
+
+def occluded_bvh(
+    bvh: BVHArrays,
+    tris: TriangleSoA,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    max_leaf_prims: int = 4,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Any-hit traversal (reference intersect_shadows, Triangle.cu:204-248)."""
+    return _traverse(
+        bvh, tris, ray_o, ray_d, max_leaf_prims, any_hit=True, mask=mask
+    )

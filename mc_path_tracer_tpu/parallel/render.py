@@ -1,0 +1,116 @@
+"""Sharded rendering and differentiable train steps over a device mesh.
+
+TPU-native scaling design (SURVEY.md §2h / §7 step 9): the film's pixel rows
+are the data-parallel axis — each device path-traces its own row block
+against a replicated scene/BVH.  Shardings are annotated with
+jax.sharding.NamedSharding and XLA inserts the collectives: the forward pass
+needs none (rows are independent); the backward pass all-reduces parameter
+gradients (materials / light radiance / env texels) over ICI, overlapped
+with the per-row adjoint sweeps by the XLA scheduler.
+
+`render_sharded` is the multi-chip PathTracer::render_image;
+`make_train_step` builds the inverse-rendering step used by
+__graft_entry__.dryrun_multichip and the scaling benchmarks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mc_path_tracer_tpu.models import camera as camera_mod
+from mc_path_tracer_tpu.models.integrator import RenderConfig, render_tile_radiance
+from mc_path_tracer_tpu.parallel.mesh import TILE_AXIS, make_mesh
+
+
+def _pixel_grid(width: int, height: int):
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    return (
+        xs.reshape(-1).astype(jnp.float32),
+        ys.reshape(-1).astype(jnp.float32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "height", "spp"),
+)
+def _render_rows(scene, cam, px, py, key, cfg, width, height, spp):
+    acc = render_tile_radiance(scene, cam, width, height, px, py, key, cfg, spp)
+    return acc
+
+
+def render_sharded(
+    scene_data,
+    camera,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    key=None,
+    mesh=None,
+):
+    """Full-frame render with pixel rows sharded across the mesh.
+
+    Returns accumulated radiance [H, W, 3] (divide by cfg.spp for the mean).
+    Height must be divisible by the mesh size (pad the film otherwise).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_dev = mesh.devices.size
+    if height % n_dev != 0:
+        raise ValueError(f"height {height} not divisible by mesh size {n_dev}")
+    cam = camera if isinstance(camera, camera_mod.CameraParams) else camera.params()
+
+    px, py = _pixel_grid(width, height)
+    shard = NamedSharding(mesh, P(TILE_AXIS))
+    repl = NamedSharding(mesh, P())
+    px = jax.device_put(px, shard)
+    py = jax.device_put(py, shard)
+    scene_r = jax.device_put(scene_data, repl)
+    cam_r = jax.device_put(cam, repl)
+    acc = _render_rows(scene_r, cam_r, px, py, key, cfg, width, height, cfg.spp)
+    return acc.reshape(height, width, 3)
+
+
+def make_train_step(cfg: RenderConfig, width: int, height: int, spp: int):
+    """Inverse-rendering step: L2 loss of the rendered image against a target,
+    differentiated w.r.t. (material table, directional ls, env texture).
+
+    Returns a jitted fn(scene_data, cam, px, py, target_rows, key) ->
+    (loss, grads) where grads is a pytree matching
+    (materials, directional.ls, env.tex).  All inputs may carry shardings —
+    pixel arrays row-sharded, scene replicated — and XLA inserts the gradient
+    all-reduce.
+    """
+
+    def loss_fn(params, scene, cam, px, py, target, key):
+        materials, dir_ls, env_tex = params
+        lights = scene.lights
+        env = lights.env._replace(tex=env_tex)
+        dl = lights.directional._replace(ls=dir_ls)
+        scene = scene._replace(
+            materials=materials,
+            lights=lights._replace(env=env, directional=dl),
+        )
+        acc = render_tile_radiance(scene, cam, width, height, px, py, key, cfg, spp)
+        img = acc / spp
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def train_step(scene, cam, px, py, target, key):
+        params = (
+            scene.materials,
+            scene.lights.directional.ls,
+            scene.lights.env.tex,
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, scene, cam, px, py, target, key
+        )
+        return loss, grads
+
+    return train_step

@@ -1,0 +1,232 @@
+"""Minimal dependency-free glTF 2.0 (.glb/.gltf) loader.
+
+Stands in for the reference's Assimp import path (Scene.cu:24-324).  Parity
+behaviors:
+  - recursive node walk accumulating transforms, with vertices baked to world
+    space at load (positions by the accumulated matrix, normals by its
+    inverse-transpose; Scene.cu:187-232).
+  - triangulated primitives only (glTF mode 4; the reference passes
+    aiProcess_Triangulate).
+  - smooth normals generated when absent (aiProcess_GenSmoothNormals
+    equivalent: area-weighted vertex-normal accumulation).
+  - UV v-flip (aiProcess_FlipUVs; Scene.cu:28).
+  - glTF PBR metallic-roughness material import: baseColorFactor,
+    emissiveFactor, metallicFactor, roughnessFactor (Scene.cu:279-324).
+    NOTE: the reference then *overrides* roughness/metallic to 1.0/0.0
+    (Scene.cu:306-307, a quirk documented in SURVEY.md §7); we import the
+    true factors and expose `reference_material_quirk` to opt into the old
+    behavior.
+
+Returns plain numpy arrays; the Scene model layer turns them into device
+SoA pytrees.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+@dataclass
+class MeshData:
+    """One primitive, baked to world space."""
+
+    positions: np.ndarray  # [V, 3] f32 world space
+    normals: np.ndarray    # [V, 3] f32 world space (normalized)
+    uvs: np.ndarray        # [V, 2] f32 (v flipped)
+    indices: np.ndarray    # [F, 3] uint32
+    material: int          # index into GLTFScene.materials
+    name: str = ""
+
+
+@dataclass
+class MaterialData:
+    base_color: np.ndarray                   # [4] f32
+    emissive: np.ndarray                     # [3] f32
+    metallic: float
+    roughness: float
+    name: str = ""
+
+
+@dataclass
+class GLTFScene:
+    meshes: list[MeshData] = field(default_factory=list)
+    materials: list[MaterialData] = field(default_factory=list)
+
+
+def _read_glb(path: str) -> tuple[dict, bytes]:
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    if magic != 0x46546C67:  # 'glTF'
+        raise ValueError(f"{path}: not a GLB file")
+    if version != 2:
+        raise ValueError(f"{path}: unsupported GLB version {version}")
+    offset = 12
+    gltf_json, binary = None, b""
+    while offset < len(data):
+        chunk_len, chunk_type = struct.unpack_from("<II", data, offset)
+        offset += 8
+        chunk = data[offset : offset + chunk_len]
+        offset += chunk_len
+        if chunk_type == 0x4E4F534A:  # 'JSON'
+            gltf_json = json.loads(chunk.decode("utf-8"))
+        elif chunk_type == 0x004E4942:  # 'BIN'
+            binary = chunk
+    if gltf_json is None:
+        raise ValueError(f"{path}: GLB missing JSON chunk")
+    return gltf_json, binary
+
+
+def _accessor(gltf: dict, binary: bytes, idx: int) -> np.ndarray:
+    acc = gltf["accessors"][idx]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    count = acc["count"]
+    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride", 0)
+    itemsize = np.dtype(dtype).itemsize * ncomp
+    if stride and stride != itemsize:
+        raw = np.frombuffer(binary, np.uint8, count * stride, start)
+        raw = raw.reshape(count, stride)[:, :itemsize]
+        arr = raw.reshape(-1).view(dtype).reshape(count, ncomp)
+    else:
+        arr = np.frombuffer(binary, dtype, count * ncomp, start).reshape(count, ncomp)
+    return np.array(arr)
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.array(node["matrix"], np.float32).reshape(4, 4).T  # column-major
+    m = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        m = np.diag(list(node["scale"]) + [1.0]).astype(np.float32) @ m
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w), 0],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w), 0],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y), 0],
+                [0, 0, 0, 1],
+            ],
+            np.float32,
+        )
+        m = r @ m
+    if "translation" in node:
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = node["translation"]
+        m = t @ m
+    return m
+
+
+def _smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth normals (aiProcess_GenSmoothNormals equivalent)."""
+    n = np.zeros_like(positions)
+    tri = positions[indices]  # [F, 3, 3]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    for k in range(3):
+        np.add.at(n, indices[:, k], fn)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(norm, 1e-12)
+
+
+def load_gltf(path: str, reference_material_quirk: bool = False) -> GLTFScene:
+    """Load a .glb file into world-space baked mesh + material lists."""
+    gltf, binary = _read_glb(path)
+    out = GLTFScene()
+
+    for mat in gltf.get("materials", [{}] if "materials" not in gltf else []):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        rough = float(pbr.get("roughnessFactor", 1.0))
+        metal = float(pbr.get("metallicFactor", 1.0))
+        if reference_material_quirk:
+            rough, metal = 1.0, 0.0  # Scene.cu:306-307 override
+        out.materials.append(
+            MaterialData(
+                base_color=np.array(
+                    pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+                ),
+                emissive=np.array(mat.get("emissiveFactor", [0, 0, 0]), np.float32),
+                metallic=metal,
+                roughness=rough,
+                name=mat.get("name", ""),
+            )
+        )
+    if not out.materials:
+        out.materials.append(
+            MaterialData(
+                base_color=np.array([1, 1, 1, 1], np.float32),
+                emissive=np.zeros(3, np.float32),
+                metallic=0.0,
+                roughness=1.0,
+                name="default",
+            )
+        )
+
+    scene_idx = gltf.get("scene", 0)
+    roots = gltf.get("scenes", [{"nodes": list(range(len(gltf.get("nodes", []))))}])[
+        scene_idx
+    ].get("nodes", [])
+
+    def walk(node_idx: int, parent: np.ndarray):
+        node = gltf["nodes"][node_idx]
+        acc = parent @ _node_matrix(node)
+        if "mesh" in node:
+            mesh = gltf["meshes"][node["mesh"]]
+            for prim in mesh.get("primitives", []):
+                if prim.get("mode", 4) != 4:
+                    continue  # triangles only (aiProcess_Triangulate)
+                attrs = prim["attributes"]
+                pos = _accessor(gltf, binary, attrs["POSITION"]).astype(np.float32)
+                if "indices" in prim:
+                    idx = _accessor(gltf, binary, prim["indices"]).reshape(-1, 3)
+                    idx = idx.astype(np.uint32)
+                else:
+                    idx = np.arange(len(pos), dtype=np.uint32).reshape(-1, 3)
+                # world-space bake (Scene.cu:214-232)
+                pos_w = (acc[:3, :3] @ pos.T).T + acc[:3, 3]
+                nrm_mat = np.linalg.inv(acc[:3, :3]).T
+                if "NORMAL" in attrs:
+                    nrm = _accessor(gltf, binary, attrs["NORMAL"]).astype(np.float32)
+                    nrm_w = (nrm_mat @ nrm.T).T
+                    nl = np.linalg.norm(nrm_w, axis=-1, keepdims=True)
+                    nrm_w = nrm_w / np.maximum(nl, 1e-12)
+                else:
+                    nrm_w = _smooth_normals(pos_w.astype(np.float32), idx)
+                if "TEXCOORD_0" in attrs:
+                    uv = _accessor(gltf, binary, attrs["TEXCOORD_0"]).astype(np.float32)
+                    uv = uv.copy()
+                    uv[:, 1] = 1.0 - uv[:, 1]  # aiProcess_FlipUVs
+                else:
+                    uv = np.zeros((len(pos), 2), np.float32)
+                out.meshes.append(
+                    MeshData(
+                        positions=pos_w.astype(np.float32),
+                        normals=nrm_w.astype(np.float32),
+                        uvs=uv,
+                        indices=idx,
+                        material=int(prim.get("material", 0)),
+                        name=mesh.get("name", node.get("name", "")),
+                    )
+                )
+        for child in node.get("children", []):
+            walk(child, acc)
+
+    for r in roots:
+        walk(r, np.eye(4, dtype=np.float32))
+    return out
