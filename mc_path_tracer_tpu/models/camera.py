@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,13 +55,18 @@ def gen_camera_rays(
     lens_radius (select, so the pinhole path costs nothing when radius is a
     traced 0 — XLA folds the where when lens_radius is a constant 0).
     """
+    # Precision.HIGHEST is load-bearing: the TPU MXU's default bf16 matmul
+    # precision makes the far-plane w-component (a fine cancellation ~1/z_far)
+    # round to exactly 0 -> inf/NaN ray directions.  These are 4x4 matmuls;
+    # full f32 costs nothing.
+    hp = jax.lax.Precision.HIGHEST
     ndc_x = 2.0 * ((px + 0.5) / width) - 1.0
     ndc_y = 1.0 - 2.0 * ((py + 0.5) / height)
     ones = jnp.ones_like(ndc_x)
     near_h = jnp.stack([ndc_x, ndc_y, -ones, ones], axis=-1)
     far_h = jnp.stack([ndc_x, ndc_y, ones, ones], axis=-1)
-    near = jnp.einsum("ij,rj->ri", params.inv_view_proj, near_h)
-    far = jnp.einsum("ij,rj->ri", params.inv_view_proj, far_h)
+    near = jnp.einsum("ij,rj->ri", params.inv_view_proj, near_h, precision=hp)
+    far = jnp.einsum("ij,rj->ri", params.inv_view_proj, far_h, precision=hp)
     origin = near[:, :3] / near[:, 3:4]
     direction = normalize(far[:, :3] / far[:, 3:4] - origin)
 
@@ -70,7 +76,7 @@ def gen_camera_rays(
     lens_h = jnp.concatenate(
         [lens, jnp.zeros_like(lens[..., :1]), jnp.ones_like(lens[..., :1])], axis=-1
     )
-    p_lens_h = jnp.einsum("ij,rj->ri", params.inv_view, lens_h)
+    p_lens_h = jnp.einsum("ij,rj->ri", params.inv_view, lens_h, precision=hp)
     p_lens = p_lens_h[:, :3] / p_lens_h[:, 3:4]
     use_lens = params.lens_radius > 0.0
     origin = jnp.where(use_lens, p_lens, origin)

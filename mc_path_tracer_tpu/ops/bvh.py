@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from mc_path_tracer_tpu.ops.intersect import BVHArrays, TriangleSoA
+from mc_path_tracer_tpu.ops.intersect import BVHArrays, TriangleSoA, pack_bvh
 from mc_path_tracer_tpu.utils import native
 
 
@@ -99,11 +99,12 @@ def build_bvh(
         material_id=reorder(tris.material_id),
         face_normal=reorder(tris.face_normal),
     )
-    bvh = BVHArrays(
-        bmin=jnp.asarray(nb_min),
-        bmax=jnp.asarray(nb_max),
-        first=jnp.asarray(first),
-        count=jnp.asarray(count),
-        skip=jnp.asarray(skip),
+    assert max_leaf <= 15, "packed node meta reserves 4 bits for leaf count"
+    bvh = pack_bvh(
+        jnp.asarray(nb_min),
+        jnp.asarray(nb_max),
+        jnp.asarray(first),
+        jnp.asarray(count),
+        jnp.asarray(skip),
     )
     return bvh, new_tris

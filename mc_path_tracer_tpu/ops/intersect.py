@@ -67,6 +67,11 @@ class BVHArrays(NamedTuple):
     [first, first+count) of the reordered TriangleSoA; skip is the node to
     visit when the AABB misses (or after a leaf) — the DFS successor of the
     subtree.  skip == num_nodes terminates traversal.
+
+    `packed` carries the same data as one [N, 8] f32 row per node
+    (bmin, bmax, bitcast(first*16+count), bitcast(skip)) so each traversal
+    step costs a single contiguous 32-byte gather — the HBM-bandwidth
+    shape TPU gathers want.
     """
 
     bmin: jnp.ndarray   # [N, 3] f32
@@ -74,10 +79,31 @@ class BVHArrays(NamedTuple):
     first: jnp.ndarray  # [N] int32 (leaf: triangle offset; inner: unused)
     count: jnp.ndarray  # [N] int32 (0 for inner nodes)
     skip: jnp.ndarray   # [N] int32
+    packed: jnp.ndarray  # [N, 8] f32 (see above)
 
     @property
     def num_nodes(self) -> int:
         return self.bmin.shape[0]
+
+
+def pack_bvh(bmin, bmax, first, count, skip) -> BVHArrays:
+    """Assemble BVHArrays with the packed gather-friendly node table.
+    Requires count < 16 (max_leaf_prims <= 15)."""
+    bc = jax.lax.bitcast_convert_type
+    meta = bc(first.astype(jnp.int32) * 16 + count.astype(jnp.int32), jnp.float32)
+    skip_f = bc(skip.astype(jnp.int32), jnp.float32)
+    packed = jnp.concatenate(
+        [
+            jnp.asarray(bmin, jnp.float32),
+            jnp.asarray(bmax, jnp.float32),
+            meta[:, None],
+            skip_f[:, None],
+        ],
+        axis=1,
+    )
+    return BVHArrays(
+        bmin=bmin, bmax=bmax, first=first, count=count, skip=skip, packed=packed
+    )
 
 
 class Hit(NamedTuple):
@@ -190,31 +216,29 @@ def _slab_test(bmin, bmax, ray_o, inv_d, t_best):
     return (tnear <= tfar) & (tfar >= 0.0) & (tnear <= t_best)
 
 
-def _traverse(
-    bvh: BVHArrays,
-    tris: TriangleSoA,
+TRAVERSE_CHUNK = 4096
+
+
+def _traverse_chunk(
+    packed_nodes: jnp.ndarray,   # [N, 8]
+    tri_geo: jnp.ndarray,        # [T, 9] (v0, e1, e2)
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
+    start_idx: jnp.ndarray,
     max_leaf_prims: int,
     any_hit: bool,
-    max_steps: int | None = None,
-    mask: jnp.ndarray | None = None,
+    max_steps: int,
 ):
-    """Shared skip-link traversal loop.  Returns (t, tri_id, u, v) for
-    closest-hit, or a bool occlusion mask for any_hit=True.  Rays with
-    mask=False start at the terminal node and cost zero traversal steps
-    (the vectorized equivalent of the reference's queue compaction)."""
+    """Single-chunk skip-link traversal.  One 32-byte node gather per step;
+    leaf triangles via masked 36-byte gathers.  Lockstep over the chunk's
+    lanes only, so a chunk whose rays all finish early exits early."""
     num_rays = ray_o.shape[0]
-    n_nodes = bvh.num_nodes
+    n_nodes = packed_nodes.shape[0]
+    n_tris = tri_geo.shape[0]
+    bc = jax.lax.bitcast_convert_type
     inv_d = jnp.reciprocal(
         jnp.where(jnp.abs(ray_d) > 1e-12, ray_d, jnp.where(ray_d >= 0, 1e-12, -1e-12))
     )
-    if max_steps is None:
-        max_steps = 4 * n_nodes + 8
-
-    # node data packed for a single gather per step
-    node_bmin, node_bmax = bvh.bmin, bvh.bmax
-    node_first, node_count, node_skip = bvh.first, bvh.count, bvh.skip
 
     def cond(state):
         idx, t_best, tri_id, u, v, occ, steps = state
@@ -226,11 +250,13 @@ def _traverse(
     def body(state):
         idx, t_best, tri_id, u_best, v_best, occ, steps = state
         safe = jnp.minimum(idx, n_nodes - 1)
-        bmin = node_bmin[safe]
-        bmax = node_bmax[safe]
-        first = node_first[safe]
-        count = node_count[safe]
-        skip = node_skip[safe]
+        row = packed_nodes[safe]                    # [R, 8] single gather
+        bmin = row[:, 0:3]
+        bmax = row[:, 3:6]
+        meta = bc(row[:, 6], jnp.int32)
+        first = meta >> 4
+        count = meta & 15
+        skip = bc(row[:, 7], jnp.int32)
         live = idx < n_nodes
         if any_hit:
             live = live & ~occ
@@ -241,9 +267,10 @@ def _traverse(
         # masked static loop over the (<= max_leaf_prims) leaf triangles
         for k in range(max_leaf_prims):
             in_leaf = is_leaf & (k < count)
-            tid = jnp.minimum(first + k, tris.num_triangles - 1)
+            tid = jnp.minimum(first + k, n_tris - 1)
+            g = tri_geo[tid]                        # [R, 9] gather
             valid, t, u, v = moller_trumbore(
-                ray_o, ray_d, tris.v0[tid], tris.e1[tid], tris.e2[tid]
+                ray_o, ray_d, g[:, 0:3], g[:, 3:6], g[:, 6:9]
             )
             valid = valid & in_leaf
             if any_hit:
@@ -259,9 +286,6 @@ def _traverse(
         idx = jnp.where(live, jnp.where(box_hit & ~is_leaf, idx + 1, skip), idx)
         return idx, t_best, tri_id, u_best, v_best, occ, steps + 1
 
-    start_idx = jnp.zeros(num_rays, jnp.int32)
-    if mask is not None:
-        start_idx = jnp.where(mask, start_idx, n_nodes)
     state = (
         start_idx,
         jnp.full(num_rays, K_HUGE, jnp.float32),
@@ -272,9 +296,67 @@ def _traverse(
         jnp.zeros((), jnp.int32),
     )
     idx, t_best, tri_id, u, v, occ, _ = jax.lax.while_loop(cond, body, state)
+    return t_best, tri_id, u, v, occ
+
+
+def _traverse(
+    bvh: BVHArrays,
+    tris: TriangleSoA,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    max_leaf_prims: int,
+    any_hit: bool,
+    max_steps: int | None = None,
+    mask: jnp.ndarray | None = None,
+):
+    """Skip-link traversal over all rays.  Returns (t, tri_id, u, v) for
+    closest-hit, or a bool occlusion mask for any_hit=True.
+
+    Rays with mask=False start at the terminal node and cost zero traversal
+    steps (the vectorized equivalent of the reference's queue compaction).
+    Large batches are processed in chunks of TRAVERSE_CHUNK rays via
+    lax.map: lockstep cost is paid per chunk, not per frame, so a mostly-
+    finished chunk stops stepping long before the frame's worst-case ray.
+    """
+    num_rays = ray_o.shape[0]
+    n_nodes = bvh.num_nodes
+    if max_steps is None:
+        max_steps = 4 * n_nodes + 8
+    tri_geo = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)
+
+    start_idx = jnp.zeros(num_rays, jnp.int32)
+    if mask is not None:
+        start_idx = jnp.where(mask, start_idx, n_nodes)
+
+    if num_rays > 2 * TRAVERSE_CHUNK:
+        pad = (-num_rays) % TRAVERSE_CHUNK
+
+        def padded(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+            ).reshape((num_rays + pad) // TRAVERSE_CHUNK, TRAVERSE_CHUNK, *x.shape[1:])
+
+        def run(args):
+            ro, rd, si = args
+            return _traverse_chunk(
+                bvh.packed, tri_geo, ro, rd, si, max_leaf_prims, any_hit, max_steps
+            )
+
+        t, tri_id, u, v, occ = jax.lax.map(
+            run,
+            (padded(ray_o, 0.0), padded(ray_d, 1.0), padded(start_idx, n_nodes)),
+        )
+        unpad = lambda x: x.reshape(-1, *x.shape[2:])[:num_rays]
+        t, tri_id, u, v, occ = map(unpad, (t, tri_id, u, v, occ))
+    else:
+        t, tri_id, u, v, occ = _traverse_chunk(
+            bvh.packed, tri_geo, ray_o, ray_d, start_idx,
+            max_leaf_prims, any_hit, max_steps,
+        )
+
     if any_hit:
         return occ
-    return t_best, tri_id, u, v
+    return t, tri_id, u, v
 
 
 def intersect_bvh(

@@ -143,12 +143,21 @@ def look_at(eye: jnp.ndarray, center: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarr
 
 
 def transform_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Homogeneous transform of points p [..., 3] by m [4, 4] with w-divide."""
+    """Homogeneous transform of points p [..., 3] by m [4, 4] with w-divide.
+    Full-f32 precision: TPU bf16 matmul defaults lose the w cancellation."""
+    import jax
+
     ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-    out = jnp.einsum("ij,...j->...i", m, ph)
+    out = jnp.einsum(
+        "ij,...j->...i", m, ph, precision=jax.lax.Precision.HIGHEST
+    )
     return out[..., :3] / out[..., 3:4]
 
 
 def transform_dir(m: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Transform direction d [..., 3] by the linear part of m [4, 4]."""
-    return jnp.einsum("ij,...j->...i", m[:3, :3], d)
+    import jax
+
+    return jnp.einsum(
+        "ij,...j->...i", m[:3, :3], d, precision=jax.lax.Precision.HIGHEST
+    )
