@@ -1,0 +1,140 @@
+"""Auxiliary subsystems: preview renderer, engine facade + observer restart,
+film checkpointing, profiling, material preview, tonemap (SURVEY.md §5)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_path_tracer_tpu.models.camera import PerspectiveCamera
+from mc_path_tracer_tpu.models.engine import (
+    MODE_PATH_TRACER,
+    MODE_RASTERIZER,
+    RenderEngine,
+    RenderSession,
+)
+from mc_path_tracer_tpu.models.film import Film, make_film, tile_grid
+from mc_path_tracer_tpu.models.integrator import RenderConfig
+from mc_path_tracer_tpu.models.preview import PREVIEW_MODES, render_preview
+from mc_path_tracer_tpu.models.primitives import plane, uv_sphere
+from mc_path_tracer_tpu.models.scene import Scene
+from mc_path_tracer_tpu.ops import tonemap
+from mc_path_tracer_tpu.utils.checkpoint import load_film, save_film
+from mc_path_tracer_tpu.utils.profiling import RenderStats, Timings, rays_per_sample
+
+
+def scene():
+    s = Scene()
+    s.set_environment_color((0.2, 0.3, 0.5), ls=1.0)
+    floor = s.add_material(albedo=(0.6, 0.6, 0.6), roughness=0.8)
+    p, n, uv, idx = plane(30.0)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=floor)
+    m = s.add_material(albedo=(0.8, 0.2, 0.2), roughness=0.3, metallic=0.5)
+    p, n, uv, idx = uv_sphere(0.8, center=(0, 0.8, 0), rings=8, segments=16)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+    s.add_directional_light((0.4, 1.0, 0.2), ls=2.0)
+    return s
+
+
+CAM = PerspectiveCamera(position=np.array([0.4, 2.0, 4.0]),
+                        target=np.array([0.0, 0.5, 0.0]))
+
+
+def test_preview_modes_all_render():
+    s = scene().build()
+    for mode in PREVIEW_MODES:
+        film = render_preview(s, CAM, 16, 12, mode)
+        img = np.asarray(film.ld)
+        assert img.shape == (12, 16, 3), mode
+        assert np.isfinite(img).all(), mode
+    # shaded preview must see the sphere (center differs from sky corner)
+    shaded = np.asarray(render_preview(s, CAM, 32, 24, "shaded").ld)
+    assert not np.allclose(shaded[12, 16], shaded[0, 0])
+
+
+def test_engine_modes():
+    e = RenderEngine()
+    s = scene()
+    f1 = e.render(s, CAM, 16, 12, MODE_RASTERIZER)
+    f2 = e.render(s, CAM, 16, 12, MODE_PATH_TRACER,
+                  cfg=RenderConfig(spp=2, max_depth=2))
+    assert np.asarray(f1.ld).shape == np.asarray(f2.ld).shape
+
+
+def test_session_progressive_and_observer_restart():
+    s = scene()
+    ses = RenderSession(scene=s, camera=CAM, width=16, height=16,
+                        cfg=RenderConfig(spp=4, max_depth=2), tile=16,
+                        spp_per_pass=2)
+    f1 = ses.step()
+    assert float(np.asarray(f1.samples).max()) == 2
+    f2 = ses.step()
+    assert float(np.asarray(f2.samples).max()) == 4
+    # editing the scene bumps version -> accumulation restarts
+    s.add_directional_light((1, 1, 0), ls=1.0)
+    f3 = ses.step()
+    assert float(np.asarray(f3.samples).max()) == 2
+
+
+def test_film_checkpoint_roundtrip():
+    film = Film(
+        ld=jnp.arange(2 * 3 * 3, dtype=jnp.float32).reshape(2, 3, 3),
+        samples=jnp.full((2, 3), 5.0),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "film.npz")
+        save_film(path, film, meta={"spp": 5})
+        film2, meta = load_film(path)
+    np.testing.assert_array_equal(np.asarray(film2.ld), np.asarray(film.ld))
+    assert meta["spp"] == 5
+
+
+def test_tile_grid_covers_film():
+    tiles = list(tile_grid(100, 60, tile=32))
+    area = sum(w * h for _, _, w, h in tiles)
+    assert area == 100 * 60
+
+
+def test_tonemap_matches_reference_formula():
+    ld = jnp.asarray([[[2.0, 4.0, 0.0]]])
+    samples = jnp.asarray([[2.0]])
+    out = np.asarray(tonemap.reinhard(ld, samples, exposure=2.0))
+    # c = ld/samples * exposure = (2,4,0); reinhard = c/(c+1)
+    np.testing.assert_allclose(out, [[[2 / 3, 4 / 5, 0.0]]], rtol=1e-6)
+    hm = np.asarray(tonemap.heatmap(ld, samples, 2.0))
+    assert hm.shape == (1, 1, 3)
+    assert np.isfinite(hm).all()
+
+
+def test_profiling_utils():
+    t = Timings()
+    with t.section("build"):
+        pass
+    assert t.counts["build"] == 1
+    assert rays_per_sample(5) == 12
+    st = RenderStats(width=100, height=100, spp=10, max_depth=5, seconds=1.0)
+    assert abs(st.mrays_per_s - 1.2) < 1e-6
+
+
+def test_material_preview():
+    from mc_path_tracer_tpu.models.matpreview import preview_material
+
+    film = preview_material(size=24, spp=2)
+    img = np.asarray(film.ld)
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(img).all()
+
+
+def test_point_light_parity_stub():
+    """PointLight is stored but does not illuminate (reference parity:
+    PointLight has no device implementation, SURVEY.md §2c)."""
+    s = scene()
+    before = s.build()
+    s.add_point_light((0, 3, 0), color=(1, 1, 1), ls=100.0)
+    after = s.build()
+    from mc_path_tracer_tpu.models import lights as lm
+
+    assert lm.num_lights(before.lights) == lm.num_lights(after.lights)
+    assert len(s.point_lights) == 1
