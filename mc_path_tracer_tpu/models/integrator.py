@@ -53,6 +53,7 @@ from dataclasses import dataclass
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from mc_path_tracer_tpu.models import camera as camera_mod
@@ -99,10 +100,12 @@ def _intersect(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
     return intersect_bvh(scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask)
 
 
-def _occluded(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
+def _occluded(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None, t_max=None):
     if cfg.accel == "brute":
-        return occluded_brute(scene.tris, ro, rd)
-    return occluded_bvh(scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask)
+        return occluded_brute(scene.tris, ro, rd, t_max=t_max)
+    return occluded_bvh(
+        scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask, t_max=t_max
+    )
 
 
 def _env_radiance(lights: lights_mod.LightSet, d: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +128,7 @@ def trace_radiance(
     num_rays = ray_o.shape[0]
     lights = scene.lights
     n_lights = lights_mod.num_lights(lights)
+    aid = lights_mod.area_light_id(lights)  # static; -1 when no area light
 
     l_out = jnp.zeros((num_rays, 3), jnp.float32)
     beta = jnp.ones((num_rays, 3), jnp.float32)
@@ -137,6 +141,12 @@ def trace_radiance(
     bg = _env_radiance(lights, ray_d)
     bg_scale = float(n_lights) if cfg.reference_quirks else 1.0
     l_out = l_out + jnp.where(isect.hit[..., None], 0.0, bg * bg_scale)
+
+    # radiant objects visible to the camera: primary-hit emission (the
+    # reference's `+ Vec3f(0) * beta` placeholder at logic:131-133, realized)
+    if aid >= 0:
+        prim_emit = scene.materials.emissive[isect.material_id]
+        l_out = l_out + jnp.where(isect.hit[..., None], prim_emit, 0.0)
 
     alive = isect.hit
     wo = -ray_d
@@ -152,30 +162,76 @@ def trace_radiance(
         l_id = jnp.minimum((u[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
         wl = sg(lights_mod.sample_dir(lights, l_id, u[:, 1:3]))
         delta = lights_mod.is_delta(lights, l_id)
+        li_light = lights_mod.radiance(lights, l_id, wl)
+        pdf_light = sg(lights_mod.pdf(lights, l_id, wl))
+        shadow_tmax = None
+        if aid >= 0:
+            is_area = l_id == aid
+            wl_a, dist_a, li_a, pdf_a = lights_mod.sample_area(
+                lights.area, scene.tris, pos, u[:, 1:3 + 1]
+            )
+            wl_a, dist_a, pdf_a = sg(wl_a), sg(dist_a), sg(pdf_a)
+            wl = jnp.where(is_area[..., None], wl_a, wl)
+            li_light = jnp.where(is_area[..., None], li_a, li_light)
+            pdf_light = jnp.where(is_area, pdf_a, pdf_light)
+            # bounded shadow ray: blockers strictly between surface and
+            # light.  The 2*SHADOW_OFFSET margin covers the ray origin's
+            # 0.01*n offset so the emissive quad never occludes itself.
+            shadow_tmax = jnp.where(
+                is_area,
+                dist_a * (1.0 - 1e-3) - 2.0 * SHADOW_OFFSET,
+                jnp.full_like(dist_a, 1e32),
+            )
 
         # ---- shadow ray (wf_shadow; offset logic:214) ----
         shadow_o = pos + n * SHADOW_OFFSET
-        visible = ~_occluded(scene, cfg, shadow_o, wl, mask=alive) & alive
+        visible = (
+            ~_occluded(scene, cfg, shadow_o, wl, mask=alive, t_max=shadow_tmax)
+            & alive
+        )
 
         # ---- light-sample estimator (mat_mix:320-329) ----
         f_light = brdf.mixture_f(mat, n, wl, wo)
-        li_light = lights_mod.radiance(lights, l_id, wl)
-        pdf_light = sg(lights_mod.pdf(lights, l_id, wl))
         pdf_brdf_at_wl = sg(
             jnp.where(delta, 1.0, brdf.mixture_pdf(mat, n, wl, wo))
         )
 
         # ---- brdf-sample estimator (mat_mix:331-345), non-delta lights ----
         wb = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 3], u[:, 4:6]))
-        vis2 = (
-            ~_occluded(scene, cfg, pos + wb * VIS_OFFSET, wb, mask=alive & ~delta)
-            & ~delta
-            & alive
-        )
+        if aid >= 0:
+            # area lights need the closest hit of the brdf ray (did it reach
+            # the emissive surface?); env visibility falls out of the same
+            # trace (escaped == visible), so no separate occlusion test.
+            hit_b = jax.tree.map(
+                sg,
+                _intersect(scene, cfg, pos + wb * VIS_OFFSET, wb,
+                           mask=alive & ~delta),
+            )
+            li_hit, pdf_sa_hit, on_light = lights_mod.area_eval_hit(
+                lights.area, scene.tris, hit_b, pos + wb * VIS_OFFSET
+            )
+            is_area = l_id == aid
+            vis2 = jnp.where(is_area, on_light, ~hit_b.hit) & ~delta & alive
+            li_brdf_raw = jnp.where(
+                is_area[..., None], li_hit,
+                lights_mod.radiance(lights, l_id, wb),
+            )
+            pdf_l_at_wb_raw = jnp.where(
+                is_area, sg(pdf_sa_hit), lights_mod.pdf(lights, l_id, wb)
+            )
+        else:
+            vis2 = (
+                ~_occluded(scene, cfg, pos + wb * VIS_OFFSET, wb,
+                           mask=alive & ~delta)
+                & ~delta
+                & alive
+            )
+            li_brdf_raw = lights_mod.radiance(lights, l_id, wb)
+            pdf_l_at_wb_raw = lights_mod.pdf(lights, l_id, wb)
         f_brdf = jnp.where(vis2[..., None], brdf.mixture_f(mat, n, wb, wo), 0.0)
-        li_brdf = jnp.where(vis2[..., None], lights_mod.radiance(lights, l_id, wb), 0.0)
+        li_brdf = jnp.where(vis2[..., None], li_brdf_raw, 0.0)
         pdf_brdf = sg(jnp.where(vis2, brdf.mixture_pdf(mat, n, wb, wo), 1.0))
-        pdf_light_at_wb = sg(jnp.where(vis2, lights_mod.pdf(lights, l_id, wb), 1.0))
+        pdf_light_at_wb = sg(jnp.where(vis2, pdf_l_at_wb_raw, 1.0))
 
         # ---- MIS combine (logic:169-180) ----
         # Delta lights: the reference feeds the power heuristic a placeholder
@@ -249,6 +305,9 @@ def _sample_pass(scene, cfg, camera, width, height, px, py, key, sample_idx):
     return trace_radiance(scene, ro, rd, skey, cfg)
 
 
+PIXEL_CHUNK = 65536
+
+
 def render_tile_radiance(
     scene: SceneData,
     camera: "camera_mod.CameraParams",
@@ -261,28 +320,91 @@ def render_tile_radiance(
     spp: int | None = None,
 ) -> jnp.ndarray:
     """Accumulated radiance sum over `spp` samples for pixels (px, py) — the
-    device-side core shared by render() and the sharded renderer."""
+    device-side core shared by render() and the sharded renderer.
+
+    Large frames are processed in PIXEL_CHUNK-ray blocks via lax.map: each
+    block runs the full spp x bounce pipeline before the next starts,
+    bounding live state to the block and letting every traversal while_loop
+    exit at its own block's convergence instead of the frame's worst ray.
+    """
     spp = cfg.spp if spp is None else spp
-    sample = jax.checkpoint(
-        lambda s: _sample_pass(scene, cfg, camera, width, height, px, py, key, s),
-        policy=jax.checkpoint_policies.nothing_saveable,
-    )
 
-    def body(carry, s):
-        return carry + sample(s), None
+    def chunk_radiance(px_c, py_c, key_c):
+        sample = jax.checkpoint(
+            lambda s: _sample_pass(
+                scene, cfg, camera, width, height, px_c, py_c, key_c, s
+            ),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
 
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros(px.shape + (3,), jnp.float32), jnp.arange(spp)
+        def body(carry, s):
+            return carry + sample(s), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(px_c.shape + (3,), jnp.float32), jnp.arange(spp)
+        )
+        return acc
+
+    num_rays = px.shape[0]
+    if num_rays <= PIXEL_CHUNK:
+        return chunk_radiance(px, py, key)
+
+    pad = (-num_rays) % PIXEL_CHUNK
+    n_chunks = (num_rays + pad) // PIXEL_CHUNK
+
+    def blocked(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,), x.dtype)]
+        ).reshape(n_chunks, PIXEL_CHUNK)
+
+    # each chunk folds its index into the key: distinct random streams per
+    # block (identical keys would repeat the noise pattern every chunk)
+    chunk_keys = jax.vmap(lambda i: jax.random.fold_in(key, 1_000_000 + i))(
+        jnp.arange(n_chunks)
     )
-    return acc
+    acc = jax.lax.map(
+        lambda args: chunk_radiance(*args), (blocked(px), blocked(py), chunk_keys)
+    )
+    return acc.reshape(-1, 3)[:num_rays]
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "spp"))
+def _render_block(scene, camera, px, py, key, cfg, width, height, spp):
+    return render_tile_radiance(scene, camera, width, height, px, py, key, cfg, spp)
+
+
 def _render_full(scene, camera, key, cfg, width, height, spp):
-    ys, xs = jnp.mgrid[0:height, 0:width]
-    px = xs.reshape(-1).astype(jnp.float32)
-    py = ys.reshape(-1).astype(jnp.float32)
-    acc = render_tile_radiance(scene, camera, width, height, px, py, key, cfg, spp)
+    """Full frame as a host-side loop over PIXEL_CHUNK blocks: every dispatch
+    is the same modest program (one compile), avoiding the giant fused
+    map-of-pipelines program that device runtimes choke on, while the jitted
+    block itself still contains the whole spp x bounce pipeline with no
+    per-stage host sync."""
+    ys, xs = np.mgrid[0:height, 0:width]
+    px = np.asarray(xs.reshape(-1), np.float32)
+    py = np.asarray(ys.reshape(-1), np.float32)
+    num_rays = px.shape[0]
+    block = PIXEL_CHUNK
+    if num_rays <= block:
+        acc = _render_block(
+            scene, camera, jnp.asarray(px), jnp.asarray(py), key, cfg,
+            width, height, spp,
+        )
+        return acc.reshape(height, width, 3)
+    pad = (-num_rays) % block
+    px = np.concatenate([px, np.zeros(pad, np.float32)])
+    py = np.concatenate([py, np.zeros(pad, np.float32)])
+    chunks = []
+    for c in range(len(px) // block):
+        kc = jax.random.fold_in(key, 1_000_000 + c)
+        chunks.append(
+            _render_block(
+                scene, camera,
+                jnp.asarray(px[c * block : (c + 1) * block]),
+                jnp.asarray(py[c * block : (c + 1) * block]),
+                kc, cfg, width, height, spp,
+            )
+        )
+    acc = jnp.concatenate(chunks, axis=0)[:num_rays]
     return acc.reshape(height, width, 3)
 
 

@@ -192,7 +192,13 @@ class Scene:
             )
         else:
             dl = lights_mod.empty_directional()
+        # emissive triangles -> area light (completing the reference's
+        # abandoned dAreaLight; see models/lights.AreaLights)
+        emissive = np.asarray(materials.emissive)
+        tri_emission = emissive[np.asarray(tris.material_id)]
+        emissive_mask = tri_emission.sum(axis=-1) > 0.0
+        al = lights_mod.make_area_lights(tris, emissive_mask, tri_emission)
         return SceneData(
             tris=tris, bvh=bvh, materials=materials,
-            lights=lights_mod.LightSet(env=self.env, directional=dl),
+            lights=lights_mod.LightSet(env=self.env, directional=dl, area=al),
         )

@@ -191,13 +191,22 @@ def intersect_brute(tris: TriangleSoA, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -
     )
 
 
-def occluded_brute(tris: TriangleSoA, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> jnp.ndarray:
+def occluded_brute(
+    tris: TriangleSoA,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_max: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Any-hit: True where some triangle blocks the ray (reference
-    intersect_shadows, Triangle.cu:204-248; lights live at infinity so there
-    is no t_max)."""
+    intersect_shadows, Triangle.cu:204-248).  The reference's lights live at
+    infinity so it has no t_max; area lights (our completion of the
+    abandoned dAreaLight) need blockers *between* surface and light, so an
+    optional per-ray t_max bounds the test."""
     ro = ray_o[:, None, :]
     rd = ray_d[:, None, :]
-    valid, _, _, _ = moller_trumbore(ro, rd, tris.v0[None], tris.e1[None], tris.e2[None])
+    valid, t, _, _ = moller_trumbore(ro, rd, tris.v0[None], tris.e1[None], tris.e2[None])
+    if t_max is not None:
+        valid = valid & (t <= t_max[:, None])
     return jnp.any(valid, axis=-1)
 
 
@@ -216,7 +225,11 @@ def _slab_test(bmin, bmax, ray_o, inv_d, t_best):
     return (tnear <= tfar) & (tfar >= 0.0) & (tnear <= t_best)
 
 
-TRAVERSE_CHUNK = 4096
+# Rays per lockstep while_loop.  Chunking here is a fallback for callers
+# that pass very large batches directly; the integrator already blocks the
+# frame into ~64k-ray chunks (one dispatch per chunk through the whole
+# bounce pipeline), which is the efficient path.
+TRAVERSE_CHUNK = 131072
 
 
 def _traverse_chunk(
@@ -228,6 +241,7 @@ def _traverse_chunk(
     max_leaf_prims: int,
     any_hit: bool,
     max_steps: int,
+    t_max: jnp.ndarray | None = None,
 ):
     """Single-chunk skip-link traversal.  One 32-byte node gather per step;
     leaf triangles via masked 36-byte gathers.  Lockstep over the chunk's
@@ -274,6 +288,8 @@ def _traverse_chunk(
             )
             valid = valid & in_leaf
             if any_hit:
+                if t_max is not None:
+                    valid = valid & (t <= t_max)
                 occ = occ | valid
             else:
                 closer = valid & (t < t_best)
@@ -308,6 +324,7 @@ def _traverse(
     any_hit: bool,
     max_steps: int | None = None,
     mask: jnp.ndarray | None = None,
+    t_max: jnp.ndarray | None = None,
 ):
     """Skip-link traversal over all rays.  Returns (t, tri_id, u, v) for
     closest-hit, or a bool occlusion mask for any_hit=True.
@@ -336,22 +353,30 @@ def _traverse(
                 [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
             ).reshape((num_rays + pad) // TRAVERSE_CHUNK, TRAVERSE_CHUNK, *x.shape[1:])
 
+        tmax_in = (
+            padded(t_max, 0.0)
+            if t_max is not None
+            else padded(jnp.full(num_rays, K_HUGE, jnp.float32), 0.0)
+        )
+
         def run(args):
-            ro, rd, si = args
+            ro, rd, si, tm = args
             return _traverse_chunk(
-                bvh.packed, tri_geo, ro, rd, si, max_leaf_prims, any_hit, max_steps
+                bvh.packed, tri_geo, ro, rd, si, max_leaf_prims, any_hit,
+                max_steps, t_max=tm if t_max is not None else None,
             )
 
         t, tri_id, u, v, occ = jax.lax.map(
             run,
-            (padded(ray_o, 0.0), padded(ray_d, 1.0), padded(start_idx, n_nodes)),
+            (padded(ray_o, 0.0), padded(ray_d, 1.0), padded(start_idx, n_nodes),
+             tmax_in),
         )
         unpad = lambda x: x.reshape(-1, *x.shape[2:])[:num_rays]
         t, tri_id, u, v, occ = map(unpad, (t, tri_id, u, v, occ))
     else:
         t, tri_id, u, v, occ = _traverse_chunk(
             bvh.packed, tri_geo, ray_o, ray_d, start_idx,
-            max_leaf_prims, any_hit, max_steps,
+            max_leaf_prims, any_hit, max_steps, t_max=t_max,
         )
 
     if any_hit:
@@ -382,8 +407,10 @@ def occluded_bvh(
     ray_d: jnp.ndarray,
     max_leaf_prims: int = 4,
     mask: jnp.ndarray | None = None,
+    t_max: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Any-hit traversal (reference intersect_shadows, Triangle.cu:204-248)."""
     return _traverse(
-        bvh, tris, ray_o, ray_d, max_leaf_prims, any_hit=True, mask=mask
+        bvh, tris, ray_o, ray_d, max_leaf_prims, any_hit=True, mask=mask,
+        t_max=t_max,
     )

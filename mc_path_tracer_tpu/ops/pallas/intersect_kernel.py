@@ -1,0 +1,175 @@
+"""Pallas dense intersection kernel: all rays x all triangles in VMEM.
+
+For small scenes (<= a few thousand triangles) BVH gathers are pure
+overhead on TPU — the winning layout is dense: stream ray blocks through
+VMEM and test every triangle with fully-vectorized Moller-Trumbore on the
+VPU, keeping a running closest hit.  No gathers, no divergence, perfect
+lane utilization; this is the TPU answer to the reference's wf_extend /
+wf_shadow kernels (wavefront_kernels.cu:253-293) at small scene scale.
+
+Triangle data layout: [T, 9] = (v0, e1, e2), padded to a multiple of 8 rows
+with degenerate triangles (e1 = e2 = 0 -> det 0 -> culled).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE
+
+RAY_BLOCK = 512
+TRI_BLOCK = 128
+
+
+def _mt_block(ro, rd, tri):
+    """Rays [R, 3] x triangles [T, 9] -> (valid [R, T], t, u, v)."""
+    v0 = tri[None, :, 0:3]
+    e1 = tri[None, :, 3:6]
+    e2 = tri[None, :, 6:9]
+    ro = ro[:, None, :]
+    rd = rd[:, None, :]
+    pvec = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    tvec = ro - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (det >= K_EPSILON)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= 0.0)
+    )
+    return valid, t, u, v
+
+
+def _closest_kernel(ro_ref, rd_ref, tri_ref, t_ref, id_ref, u_ref, v_ref):
+    n_tri_blocks = tri_ref.shape[0] // TRI_BLOCK
+    ro = ro_ref[:]
+    rd = rd_ref[:]
+
+    def body(b, carry):
+        t_best, id_best, u_best, v_best = carry
+        tri = tri_ref[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :]
+        valid, t, u, v = _mt_block(ro, rd, tri)
+        t = jnp.where(valid, t, K_HUGE)
+        arg = jnp.argmin(t, axis=-1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)[:, 0]
+        tb = t[rows, arg]
+        closer = tb < t_best
+        t_best = jnp.where(closer, tb, t_best)
+        id_best = jnp.where(closer, b * TRI_BLOCK + arg, id_best)
+        u_best = jnp.where(closer, u[rows, arg], u_best)
+        v_best = jnp.where(closer, v[rows, arg], v_best)
+        return t_best, id_best, u_best, v_best
+
+    shape = (ro.shape[0],)
+    init = (
+        jnp.full(shape, K_HUGE, jnp.float32),
+        jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    t_best, id_best, u_best, v_best = jax.lax.fori_loop(
+        0, n_tri_blocks, body, init
+    )
+    t_ref[:] = t_best
+    id_ref[:] = id_best
+    u_ref[:] = u_best
+    v_ref[:] = v_best
+
+
+def _anyhit_kernel(ro_ref, rd_ref, tri_ref, occ_ref):
+    n_tri_blocks = tri_ref.shape[0] // TRI_BLOCK
+    ro = ro_ref[:]
+    rd = rd_ref[:]
+
+    def body(b, occ):
+        tri = tri_ref[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :]
+        valid, _, _, _ = _mt_block(ro, rd, tri)
+        return occ | jnp.any(valid, axis=-1)
+
+    occ = jax.lax.fori_loop(0, n_tri_blocks, body,
+                            jnp.zeros((ro.shape[0],), jnp.bool_))
+    occ_ref[:] = occ
+
+
+def _pad_tris(tri_geo: jnp.ndarray) -> jnp.ndarray:
+    t = tri_geo.shape[0]
+    pad = (-t) % TRI_BLOCK
+    return jnp.pad(tri_geo, ((0, pad), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_dense_pallas(
+    tri_geo: jnp.ndarray,  # [T, 9] (v0, e1, e2)
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Closest hit over all triangles: returns (t, tri_id, u, v); tri_id=-1
+    on miss."""
+    tri_p = _pad_tris(tri_geo)
+    r = ray_o.shape[0]
+    pad = (-r) % RAY_BLOCK
+    ro = jnp.pad(ray_o, ((0, pad), (0, 0)))
+    rd = jnp.pad(ray_d, ((0, pad), (0, 0)), constant_values=1.0)
+    grid = (ro.shape[0] // RAY_BLOCK,)
+    t, tid, u, v = pl.pallas_call(
+        _closest_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ro.shape[0],), jnp.float32),
+            jax.ShapeDtypeStruct((ro.shape[0],), jnp.int32),
+            jax.ShapeDtypeStruct((ro.shape[0],), jnp.float32),
+            jax.ShapeDtypeStruct((ro.shape[0],), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full triangle table
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ro, rd, tri_p)
+    return t[:r], tid[:r], u[:r], v[:r]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occluded_dense_pallas(
+    tri_geo: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    tri_p = _pad_tris(tri_geo)
+    r = ray_o.shape[0]
+    pad = (-r) % RAY_BLOCK
+    ro = jnp.pad(ray_o, ((0, pad), (0, 0)))
+    rd = jnp.pad(ray_d, ((0, pad), (0, 0)), constant_values=1.0)
+    grid = (ro.shape[0] // RAY_BLOCK,)
+    occ = pl.pallas_call(
+        _anyhit_kernel,
+        out_shape=jax.ShapeDtypeStruct((ro.shape[0],), jnp.bool_),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ro, rd, tri_p)
+    return occ[:r]
