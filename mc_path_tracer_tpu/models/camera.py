@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mc_path_tracer_tpu.ops.math import look_at, normalize, perspective
+from mc_path_tracer_tpu.ops.math import normalize
 from mc_path_tracer_tpu.ops.sampling import sample_concentric_disk
 
 
@@ -98,23 +98,41 @@ class PerspectiveCamera:
     exposure: float = 1.0
 
     def matrices(self):
-        view = look_at(
-            jnp.asarray(self.position, jnp.float32),
-            jnp.asarray(self.target, jnp.float32),
-            jnp.asarray(self.up, jnp.float32),
-        )
-        proj = perspective(
-            float(np.deg2rad(self.fov_deg)), self.aspect, self.z_near, self.z_far
-        )
-        view_proj = proj @ view
-        return view, proj, view_proj
+        """View/projection matrices, computed host-side in numpy (glm
+        lookAt/perspective conventions; see ops.math for the traced forms)."""
+        eye = np.asarray(self.position, np.float64)
+        f = np.asarray(self.target, np.float64) - eye
+        f = f / np.linalg.norm(f)
+        up = np.asarray(self.up, np.float64)
+        s = np.cross(f, up)
+        s = s / np.linalg.norm(s)
+        u = np.cross(s, f)
+        view = np.eye(4)
+        view[0, :3] = s
+        view[1, :3] = u
+        view[2, :3] = -f
+        view[0, 3] = -s @ eye
+        view[1, 3] = -u @ eye
+        view[2, 3] = f @ eye
+        fov = float(np.deg2rad(self.fov_deg))
+        t = 1.0 / np.tan(fov / 2.0)
+        proj = np.zeros((4, 4))
+        proj[0, 0] = t / self.aspect
+        proj[1, 1] = t
+        proj[2, 2] = (self.z_far + self.z_near) / (self.z_near - self.z_far)
+        proj[2, 3] = 2.0 * self.z_far * self.z_near / (self.z_near - self.z_far)
+        proj[3, 2] = -1.0
+        return view, proj, proj @ view
 
     def params(self) -> CameraParams:
-        """Compile this host camera to traced CameraParams."""
+        """Compile this host camera to traced CameraParams.  Matrix math in
+        numpy (f64 inverse, then f32): host-side, no eager device ops."""
         view, _, view_proj = self.matrices()
+        inv_vp = np.linalg.inv(np.asarray(view_proj, np.float64)).astype(np.float32)
+        inv_v = np.linalg.inv(np.asarray(view, np.float64)).astype(np.float32)
         return CameraParams(
-            inv_view_proj=jnp.linalg.inv(view_proj),
-            inv_view=jnp.linalg.inv(view),
+            inv_view_proj=jnp.asarray(inv_vp),
+            inv_view=jnp.asarray(inv_v),
             lens_radius=jnp.asarray(self.lens_radius, jnp.float32),
             focal_distance=jnp.asarray(self.focal_distance, jnp.float32),
         )

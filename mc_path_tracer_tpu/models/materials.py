@@ -48,19 +48,28 @@ class MaterialTable(NamedTuple):
 def make_material_table(
     albedo, roughness, metallic, fresnel=None, emissive=None
 ) -> MaterialTable:
-    albedo = jnp.asarray(np.atleast_2d(np.asarray(albedo, np.float32)))
-    m = albedo.shape[0]
-    roughness = jnp.broadcast_to(jnp.asarray(roughness, jnp.float32), (m,))
-    metallic = jnp.broadcast_to(jnp.asarray(metallic, jnp.float32), (m,))
-    if fresnel is None:
-        fresnel = jnp.full((m, 3), 0.04, jnp.float32)
-    else:
-        fresnel = jnp.broadcast_to(jnp.asarray(fresnel, jnp.float32), (m, 3))
-    if emissive is None:
-        emissive = jnp.zeros((m, 3), jnp.float32)
-    else:
-        emissive = jnp.broadcast_to(jnp.asarray(emissive, jnp.float32), (m, 3))
-    return MaterialTable(albedo, roughness, metallic, fresnel, emissive)
+    # assembled in numpy (host) — scene building must not run eager device ops
+    albedo_np = np.atleast_2d(np.asarray(albedo, np.float32))
+    m = albedo_np.shape[0]
+    roughness_np = np.broadcast_to(np.asarray(roughness, np.float32), (m,))
+    metallic_np = np.broadcast_to(np.asarray(metallic, np.float32), (m,))
+    fresnel_np = (
+        np.full((m, 3), 0.04, np.float32)
+        if fresnel is None
+        else np.broadcast_to(np.asarray(fresnel, np.float32), (m, 3))
+    )
+    emissive_np = (
+        np.zeros((m, 3), np.float32)
+        if emissive is None
+        else np.broadcast_to(np.asarray(emissive, np.float32), (m, 3))
+    )
+    return MaterialTable(
+        jnp.asarray(albedo_np),
+        jnp.asarray(roughness_np),
+        jnp.asarray(metallic_np),
+        jnp.asarray(fresnel_np),
+        jnp.asarray(emissive_np),
+    )
 
 
 def default_material() -> MaterialTable:

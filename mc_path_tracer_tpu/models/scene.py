@@ -46,6 +46,9 @@ class SceneData(NamedTuple):
 
 
 def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
+    """Build a *numpy-backed* TriangleSoA.  Scene assembly stays on the host
+    (no eager device ops — on the axon backend each would remote-compile);
+    arrays move to the device once, at the end of Scene.build()."""
     p = np.asarray(positions, np.float32)
     n = np.asarray(normals, np.float32)
     uv = np.asarray(uvs, np.float32)
@@ -57,18 +60,19 @@ def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
     t = idx.shape[0]
     mat = np.full(t, material_id, np.int32)
     return TriangleSoA(
-        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
-        n0=jnp.asarray(n[idx[:, 0]]), n1=jnp.asarray(n[idx[:, 1]]),
-        n2=jnp.asarray(n[idx[:, 2]]),
-        uv0=jnp.asarray(uv[idx[:, 0]]), uv1=jnp.asarray(uv[idx[:, 1]]),
-        uv2=jnp.asarray(uv[idx[:, 2]]),
-        material_id=jnp.asarray(mat),
-        face_normal=jnp.asarray(fn.astype(np.float32)),
+        v0=v0, e1=e1.astype(np.float32), e2=e2.astype(np.float32),
+        n0=n[idx[:, 0]], n1=n[idx[:, 1]], n2=n[idx[:, 2]],
+        uv0=uv[idx[:, 0]], uv1=uv[idx[:, 1]], uv2=uv[idx[:, 2]],
+        material_id=mat,
+        face_normal=fn.astype(np.float32),
     )
 
 
 def concat_soa(parts: list[TriangleSoA]) -> TriangleSoA:
-    return TriangleSoA(*[jnp.concatenate(cols, axis=0) for cols in zip(*parts)])
+    return TriangleSoA(
+        *[np.concatenate([np.asarray(c) for c in cols], axis=0)
+          for cols in zip(*parts)]
+    )
 
 
 @dataclass

@@ -100,11 +100,23 @@ def build_bvh(
         face_normal=reorder(tris.face_normal),
     )
     assert max_leaf <= 15, "packed node meta reserves 4 bits for leaf count"
-    bvh = pack_bvh(
-        jnp.asarray(nb_min),
-        jnp.asarray(nb_max),
-        jnp.asarray(first),
-        jnp.asarray(count),
-        jnp.asarray(skip),
+    # packed node table assembled host-side (numpy bit views), one transfer
+    meta = (first.astype(np.int32) * 16 + count.astype(np.int32)).view(np.float32)
+    packed = np.concatenate(
+        [
+            nb_min.astype(np.float32),
+            nb_max.astype(np.float32),
+            meta[:, None],
+            skip.astype(np.int32).view(np.float32)[:, None],
+        ],
+        axis=1,
+    )
+    bvh = BVHArrays(
+        bmin=jnp.asarray(nb_min),
+        bmax=jnp.asarray(nb_max),
+        first=jnp.asarray(first),
+        count=jnp.asarray(count),
+        skip=jnp.asarray(skip),
+        packed=jnp.asarray(packed),
     )
     return bvh, new_tris

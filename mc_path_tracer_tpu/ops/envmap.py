@@ -57,16 +57,46 @@ class EnvMapDistribution(NamedTuple):
     pdf_texture: jnp.ndarray   # [H, W] per-texel pdf (lum * sin / denom)
 
 
-def build_distribution(tex: jnp.ndarray) -> EnvMapDistribution:
-    """Build sampling tables from an equirect HDR texture [H, W, 3]."""
+def build_distribution(tex) -> EnvMapDistribution:
+    """Build sampling tables from an equirect HDR texture [H, W, 3].
+
+    Host-side numpy: scene building must not run eager device ops (on the
+    axon TPU backend every eager op is a multi-second remote compile), so
+    the two prefix sums run on the host and transfer once.  For the
+    differentiable path (gradients w.r.t. env texels) use
+    `build_distribution_traced` inside a jit.
+    """
+    import numpy as np
+
+    tex = np.asarray(tex, np.float32)
     h, w = tex.shape[0], tex.shape[1]
-    lum = luminance(tex)                                     # [H, W]
-    v = jnp.arange(h, dtype=jnp.float32) / h                 # v = y/H (ref convention)
-    sin_theta = jnp.sin(PI * v)                              # [H]
-    weighted = lum * sin_theta[:, None]                      # [H, W]
+    lum = tex @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    v = np.arange(h, dtype=np.float32) / h                   # v = y/H (ref convention)
+    sin_theta = np.sin(np.pi * v).astype(np.float32)
+    weighted = lum * sin_theta[:, None]
+    denom = max(float(weighted.sum()), 1e-20)
+    pdf_texture = weighted / denom
+    marginal_p = pdf_texture.sum(axis=1)
+    marginal_cdf = np.cumsum(marginal_p).astype(np.float32)
+    cond_p = pdf_texture / np.maximum(marginal_p[:, None], 1e-20)
+    cond_cdf = np.cumsum(cond_p, axis=1).astype(np.float32)
+    return EnvMapDistribution(
+        jnp.asarray(marginal_cdf), jnp.asarray(cond_cdf),
+        jnp.asarray(pdf_texture.astype(np.float32)),
+    )
+
+
+def build_distribution_traced(tex: jnp.ndarray) -> EnvMapDistribution:
+    """Traced (differentiable) variant of build_distribution for use inside
+    jitted optimization loops that update env texels."""
+    h, w = tex.shape[0], tex.shape[1]
+    lum = luminance(tex)
+    v = jnp.arange(h, dtype=jnp.float32) / h
+    sin_theta = jnp.sin(PI * v)
+    weighted = lum * sin_theta[:, None]
     denom = jnp.maximum(jnp.sum(weighted), 1e-20)
     pdf_texture = weighted / denom
-    marginal_p = jnp.sum(pdf_texture, axis=1)                # [H]
+    marginal_p = jnp.sum(pdf_texture, axis=1)
     marginal_cdf = jnp.cumsum(marginal_p)
     cond_p = pdf_texture / jnp.maximum(marginal_p[:, None], 1e-20)
     cond_cdf = jnp.cumsum(cond_p, axis=1)

@@ -12,18 +12,21 @@ import numpy as np
 
 
 def load_hdr(path: str) -> np.ndarray:
-    """Load a Radiance .hdr file as float32 [H, W, 3] linear RGB."""
-    try:
-        import imageio.v3 as iio
+    """Load a Radiance .hdr (or other float image) as float32 [H, W, 3]
+    linear RGB.
 
-        img = np.asarray(iio.imread(path))
-        if img.dtype != np.float32:
-            img = img.astype(np.float32)
-        if img.ndim == 3 and img.shape[2] >= 3:
-            return np.ascontiguousarray(img[..., :3])
-    except Exception:
-        pass
-    return _load_radiance_hdr(path)
+    .hdr goes through our own RGBE decoder: imageio without an HDR plugin
+    silently decodes Radiance files as 8-bit LDR (observed in this
+    environment), which would wreck env-light radiometry.
+    """
+    if path.lower().endswith(".hdr"):
+        return _load_radiance_hdr(path)
+    import imageio.v3 as iio
+
+    img = np.asarray(iio.imread(path)).astype(np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return np.ascontiguousarray(img[..., :3])
 
 
 def _load_radiance_hdr(path: str) -> np.ndarray:
