@@ -145,7 +145,7 @@ def trace_radiance(
     # radiant objects visible to the camera: primary-hit emission (the
     # reference's `+ Vec3f(0) * beta` placeholder at logic:131-133, realized)
     if aid >= 0:
-        prim_emit = scene.materials.emissive[isect.material_id]
+        prim_emit = scene.materials.emission(isect.material_id, isect.uv, scene.atlas)
         l_out = l_out + jnp.where(isect.hit[..., None], prim_emit, 0.0)
 
     alive = isect.hit
@@ -156,7 +156,7 @@ def trace_radiance(
         u = rng.uniforms(jax.random.fold_in(key, bounce), (num_rays,), 10)
         u = sg(u)
         pos, n = isect.position, isect.normal
-        mat = scene.materials.gather(isect.material_id)
+        mat = scene.materials.gather(isect.material_id, isect.uv, scene.atlas)
 
         # ---- light selection (logic:209-212) ----
         l_id = jnp.minimum((u[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)

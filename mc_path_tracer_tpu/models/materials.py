@@ -23,30 +23,61 @@ from mc_path_tracer_tpu.ops.brdf import MaterialParams
 
 
 class MaterialTable(NamedTuple):
-    """[M]-indexed material factors."""
+    """[M]-indexed material factors + optional texture bindings.
+
+    Texture ids index the scene's TextureAtlas (-1 = untextured slot, factor
+    only).  `albedo_tex` modulates base color, `mr_tex` holds glTF
+    metallic-roughness (B = metallic, G = roughness), `emissive_tex`
+    modulates emission — the reference's texture slot layout
+    (dMaterial.cuh:11-33), actually wired up (the reference discards its
+    fetches; SURVEY.md §7).
+    """
 
     albedo: jnp.ndarray     # [M, 3] base color
     roughness: jnp.ndarray  # [M]
     metallic: jnp.ndarray   # [M]
     fresnel: jnp.ndarray    # [M, 3] F0 (reference default 0.04)
     emissive: jnp.ndarray   # [M, 3]
+    albedo_tex: jnp.ndarray    # [M] int32
+    mr_tex: jnp.ndarray        # [M] int32
+    emissive_tex: jnp.ndarray  # [M] int32
 
     @property
     def num_materials(self) -> int:
         return self.albedo.shape[0]
 
-    def gather(self, material_id: jnp.ndarray) -> MaterialParams:
-        """Per-ray material parameters for shading."""
+    def gather(self, material_id: jnp.ndarray, uv=None, atlas=None) -> MaterialParams:
+        """Per-ray material parameters; textures applied when `uv` and a
+        non-empty `atlas` are given."""
+        albedo = self.albedo[material_id]
+        roughness = self.roughness[material_id]
+        metallic = self.metallic[material_id]
+        if uv is not None and atlas is not None and atlas.count > 0:
+            from mc_path_tracer_tpu.utils.texture import sample_atlas
+
+            albedo = albedo * sample_atlas(atlas, self.albedo_tex[material_id], uv)
+            mr = sample_atlas(atlas, self.mr_tex[material_id], uv)
+            roughness = roughness * mr[..., 1]
+            metallic = metallic * mr[..., 2]
         return MaterialParams(
-            albedo=self.albedo[material_id],
-            roughness=self.roughness[material_id],
-            metallic=self.metallic[material_id],
+            albedo=albedo,
+            roughness=roughness,
+            metallic=metallic,
             fresnel=self.fresnel[material_id],
         )
 
+    def emission(self, material_id: jnp.ndarray, uv=None, atlas=None) -> jnp.ndarray:
+        e = self.emissive[material_id]
+        if uv is not None and atlas is not None and atlas.count > 0:
+            from mc_path_tracer_tpu.utils.texture import sample_atlas
+
+            e = e * sample_atlas(atlas, self.emissive_tex[material_id], uv)
+        return e
+
 
 def make_material_table(
-    albedo, roughness, metallic, fresnel=None, emissive=None
+    albedo, roughness, metallic, fresnel=None, emissive=None,
+    albedo_tex=None, mr_tex=None, emissive_tex=None,
 ) -> MaterialTable:
     # assembled in numpy (host) — scene building must not run eager device ops
     albedo_np = np.atleast_2d(np.asarray(albedo, np.float32))
@@ -63,12 +94,20 @@ def make_material_table(
         if emissive is None
         else np.broadcast_to(np.asarray(emissive, np.float32), (m, 3))
     )
+    def tex_ids(t):
+        if t is None:
+            return np.full(m, -1, np.int32)
+        return np.broadcast_to(np.asarray(t, np.int32), (m,))
+
     return MaterialTable(
         jnp.asarray(albedo_np),
         jnp.asarray(roughness_np),
         jnp.asarray(metallic_np),
         jnp.asarray(fresnel_np),
         jnp.asarray(emissive_np),
+        jnp.asarray(tex_ids(albedo_tex)),
+        jnp.asarray(tex_ids(mr_tex)),
+        jnp.asarray(tex_ids(emissive_tex)),
     )
 
 

@@ -59,7 +59,7 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
         cam, width, height, px, py, jnp.zeros((px.shape[0], 2))
     )
     hit = intersect_bvh(scene.bvh, scene.tris, ro, rd)
-    mat = scene.materials.gather(hit.material_id)
+    mat = scene.materials.gather(hit.material_id, hit.uv, scene.atlas)
     hmask = hit.hit[..., None]
 
     if mode == "position":
@@ -74,7 +74,7 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
         )
         out = jnp.where(hmask, mra, 0.0)
     elif mode == "emissive":
-        out = jnp.where(hmask, scene.materials.emissive[hit.material_id], 0.0)
+        out = jnp.where(hmask, scene.materials.emission(hit.material_id, hit.uv, scene.atlas), 0.0)
     elif mode == "depth":
         d = jnp.where(hit.hit, hit.t, 0.0)
         dmax = jnp.maximum(jnp.max(d), 1e-6)
@@ -98,7 +98,7 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
             if lights_mod.env_is_hdri(lights.env)
             else jnp.broadcast_to(lights.env.color * lights.env.ls, rd.shape)
         )
-        emissive = scene.materials.emissive[hit.material_id]
+        emissive = scene.materials.emission(hit.material_id, hit.uv, scene.atlas)
         out = jnp.where(hmask, direct + ambient + emissive, bg)
 
     return out.reshape(height, width, 3)

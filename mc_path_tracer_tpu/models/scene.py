@@ -43,6 +43,7 @@ class SceneData(NamedTuple):
     bvh: BVHArrays
     materials: MaterialTable
     lights: lights_mod.LightSet
+    atlas: "object" = None  # TextureAtlas (set in build())
 
 
 def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
@@ -85,6 +86,10 @@ class Scene:
     material_metallic: list = dataclass_field(default_factory=list)
     material_emissive: list = dataclass_field(default_factory=list)
     material_fresnel: list = dataclass_field(default_factory=list)
+    material_albedo_tex: list = dataclass_field(default_factory=list)
+    material_mr_tex: list = dataclass_field(default_factory=list)
+    material_emissive_tex: list = dataclass_field(default_factory=list)
+    textures: list = dataclass_field(default_factory=list)
     env: lights_mod.EnvLight = dataclass_field(
         default_factory=lights_mod.make_env_color
     )
@@ -99,15 +104,25 @@ class Scene:
     def notify(self):
         self.version += 1
 
+    def add_texture(self, image) -> int:
+        """Register a linear float [H, W, 3] texture; returns its atlas id."""
+        self.textures.append(np.asarray(image, np.float32)[..., :3])
+        self.notify()
+        return len(self.textures) - 1
+
     def add_material(
         self, albedo=(1, 1, 1), roughness=1.0, metallic=0.0,
         emissive=(0, 0, 0), fresnel=(0.04, 0.04, 0.04),
+        albedo_tex=-1, mr_tex=-1, emissive_tex=-1,
     ) -> int:
         self.material_albedo.append(np.asarray(albedo, np.float32)[:3])
         self.material_roughness.append(float(roughness))
         self.material_metallic.append(float(metallic))
         self.material_emissive.append(np.asarray(emissive, np.float32)[:3])
         self.material_fresnel.append(np.asarray(fresnel, np.float32)[:3])
+        self.material_albedo_tex.append(int(albedo_tex))
+        self.material_mr_tex.append(int(mr_tex))
+        self.material_emissive_tex.append(int(emissive_tex))
         self.notify()
         return len(self.material_albedo) - 1
 
@@ -127,6 +142,13 @@ class Scene:
         """Scene::load equivalent (Scene.cu:24): import a .glb with world
         baking; materials are appended to the scene's table."""
         data = load_gltf(path, reference_material_quirk=reference_material_quirk)
+        tex_base = len(self.textures)
+        for tex in data.textures:
+            self.add_texture(tex)
+
+        def shift(t):
+            return tex_base + t if t >= 0 else -1
+
         base = len(self.material_albedo)
         for m in data.materials:
             self.add_material(
@@ -134,6 +156,9 @@ class Scene:
                 roughness=m.roughness,
                 metallic=m.metallic,
                 emissive=m.emissive,
+                albedo_tex=shift(m.base_color_tex),
+                mr_tex=shift(m.metallic_roughness_tex),
+                emissive_tex=shift(m.emissive_tex),
             )
         for mesh in data.meshes:
             self.meshes.append(
@@ -187,6 +212,9 @@ class Scene:
             np.asarray(self.material_metallic, np.float32),
             fresnel=np.stack(self.material_fresnel),
             emissive=np.stack(self.material_emissive),
+            albedo_tex=np.asarray(self.material_albedo_tex, np.int32),
+            mr_tex=np.asarray(self.material_mr_tex, np.int32),
+            emissive_tex=np.asarray(self.material_emissive_tex, np.int32),
         )
         if self.directional:
             dl = lights_mod.make_directional(
@@ -202,7 +230,10 @@ class Scene:
         tri_emission = emissive[np.asarray(tris.material_id)]
         emissive_mask = tri_emission.sum(axis=-1) > 0.0
         al = lights_mod.make_area_lights(tris, emissive_mask, tri_emission)
+        from mc_path_tracer_tpu.utils.texture import build_atlas
+
         return SceneData(
             tris=tris, bvh=bvh, materials=materials,
             lights=lights_mod.LightSet(env=self.env, directional=dl, area=al),
+            atlas=build_atlas(self.textures),
         )

@@ -231,6 +231,12 @@ def _slab_test(bmin, bmax, ray_o, inv_d, t_best):
 # bounce pipeline), which is the efficient path.
 TRAVERSE_CHUNK = 131072
 
+# Traversal steps executed per while_loop iteration.  The loop condition is
+# a cross-lane reduction whose evaluation carries substantial per-iteration
+# overhead on the TPU runtime; unrolling amortizes it (finished lanes are
+# masked, so the extra in-iteration steps are cheap wasted lanes at worst).
+TRAVERSE_UNROLL = 8
+
 
 def _traverse_chunk(
     packed_nodes: jnp.ndarray,   # [N, 8]
@@ -261,8 +267,7 @@ def _traverse_chunk(
             active = active & ~occ
         return jnp.any(active) & (steps < max_steps)
 
-    def body(state):
-        idx, t_best, tri_id, u_best, v_best, occ, steps = state
+    def one_step(idx, t_best, tri_id, u_best, v_best, occ):
         safe = jnp.minimum(idx, n_nodes - 1)
         row = packed_nodes[safe]                    # [R, 8] single gather
         bmin = row[:, 0:3]
@@ -300,7 +305,17 @@ def _traverse_chunk(
 
         # inner-node hit -> descend (DFS successor is idx+1); else skip
         idx = jnp.where(live, jnp.where(box_hit & ~is_leaf, idx + 1, skip), idx)
-        return idx, t_best, tri_id, u_best, v_best, occ, steps + 1
+        return idx, t_best, tri_id, u_best, v_best, occ
+
+    def body(state):
+        idx, t_best, tri_id, u_best, v_best, occ, steps = state
+        # TRAVERSE_UNROLL steps per loop-condition evaluation (the cond's
+        # cross-lane reduction dominates per-iteration cost on this runtime)
+        for _ in range(TRAVERSE_UNROLL):
+            idx, t_best, tri_id, u_best, v_best, occ = one_step(
+                idx, t_best, tri_id, u_best, v_best, occ
+            )
+        return idx, t_best, tri_id, u_best, v_best, occ, steps + TRAVERSE_UNROLL
 
     state = (
         start_idx,

@@ -60,14 +60,20 @@ def _closest_kernel(ro_ref, rd_ref, tri_ref, t_ref, id_ref, u_ref, v_ref):
         tri = tri_ref[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :]
         valid, t, u, v = _mt_block(ro, rd, tri)
         t = jnp.where(valid, t, K_HUGE)
-        arg = jnp.argmin(t, axis=-1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)[:, 0]
-        tb = t[rows, arg]
+        tb = jnp.min(t, axis=-1)
+        # gather-free payload select: one-hot of the (first) min column
+        is_min = (t <= tb[:, None]) & (t < K_HUGE)
+        col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first_min = jnp.min(jnp.where(is_min, col, TRI_BLOCK), axis=-1)
+        sel = col == first_min[:, None]
+        selx = sel.astype(t.dtype)
         closer = tb < t_best
         t_best = jnp.where(closer, tb, t_best)
-        id_best = jnp.where(closer, b * TRI_BLOCK + arg, id_best)
-        u_best = jnp.where(closer, u[rows, arg], u_best)
-        v_best = jnp.where(closer, v[rows, arg], v_best)
+        id_best = jnp.where(
+            closer, b * TRI_BLOCK + first_min, id_best
+        )
+        u_best = jnp.where(closer, jnp.sum(u * selx, axis=-1), u_best)
+        v_best = jnp.where(closer, jnp.sum(v * selx, axis=-1), v_best)
         return t_best, id_best, u_best, v_best
 
     shape = (ro.shape[0],)

@@ -59,12 +59,16 @@ class MaterialData:
     metallic: float
     roughness: float
     name: str = ""
+    base_color_tex: int = -1                 # indices into GLTFScene.textures
+    metallic_roughness_tex: int = -1
+    emissive_tex: int = -1
 
 
 @dataclass
 class GLTFScene:
     meshes: list[MeshData] = field(default_factory=list)
     materials: list[MaterialData] = field(default_factory=list)
+    textures: list[np.ndarray] = field(default_factory=list)  # linear f32 [H,W,3]
 
 
 def _read_glb(path: str) -> tuple[dict, bytes]:
@@ -145,10 +149,52 @@ def _smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return n / np.maximum(norm, 1e-12)
 
 
-def load_gltf(path: str, reference_material_quirk: bool = False) -> GLTFScene:
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _decode_image(gltf: dict, binary: bytes, image_idx: int, srgb: bool):
+    """Decode an embedded glTF image (PNG/JPEG in a bufferView) to linear
+    float32 [H, W, 3] (Texture.cpp:45-78 embedded-texture support)."""
+    import io
+
+    from PIL import Image
+
+    img = gltf["images"][image_idx]
+    if "bufferView" not in img:
+        return None
+    view = gltf["bufferViews"][img["bufferView"]]
+    start = view.get("byteOffset", 0)
+    raw = binary[start : start + view["byteLength"]]
+    pil = Image.open(io.BytesIO(raw)).convert("RGB")
+    arr = np.asarray(pil, np.float32) / 255.0
+    if srgb:
+        arr = _srgb_to_linear(arr).astype(np.float32)
+    return arr
+
+
+def load_gltf(path: str, reference_material_quirk: bool = False,
+              load_textures: bool = True) -> GLTFScene:
     """Load a .glb file into world-space baked mesh + material lists."""
     gltf, binary = _read_glb(path)
     out = GLTFScene()
+
+    tex_cache: dict[tuple[int, bool], int] = {}  # dedup (Scene.cu:326-356)
+
+    def texture_id(tex_index: int | None, srgb: bool) -> int:
+        if not load_textures or tex_index is None:
+            return -1
+        src = gltf["textures"][tex_index].get("source")
+        if src is None:
+            return -1
+        key = (src, srgb)
+        if key not in tex_cache:
+            arr = _decode_image(gltf, binary, src, srgb)
+            if arr is None:
+                return -1
+            out.textures.append(arr)
+            tex_cache[key] = len(out.textures) - 1
+        return tex_cache[key]
 
     for mat in gltf.get("materials", [{}] if "materials" not in gltf else []):
         pbr = mat.get("pbrMetallicRoughness", {})
@@ -165,6 +211,15 @@ def load_gltf(path: str, reference_material_quirk: bool = False) -> GLTFScene:
                 metallic=metal,
                 roughness=rough,
                 name=mat.get("name", ""),
+                base_color_tex=texture_id(
+                    pbr.get("baseColorTexture", {}).get("index"), srgb=True
+                ),
+                metallic_roughness_tex=texture_id(
+                    pbr.get("metallicRoughnessTexture", {}).get("index"), srgb=False
+                ),
+                emissive_tex=texture_id(
+                    mat.get("emissiveTexture", {}).get("index"), srgb=True
+                ),
             )
         )
     if not out.materials:
