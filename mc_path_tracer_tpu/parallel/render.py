@@ -16,6 +16,7 @@ __graft_entry__.dryrun_multichip and the scaling benchmarks.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -77,24 +78,35 @@ def render_sharded(
     return acc.reshape(height, width, 3)
 
 
+class MaterialGrads(NamedTuple):
+    """The differentiable (float) slice of MaterialTable — texture-id bindings
+    are int32 and held constant by differentiation."""
+
+    albedo: jnp.ndarray
+    roughness: jnp.ndarray
+    metallic: jnp.ndarray
+    fresnel: jnp.ndarray
+    emissive: jnp.ndarray
+
+
 def make_train_step(cfg: RenderConfig, width: int, height: int, spp: int):
     """Inverse-rendering step: L2 loss of the rendered image against a target,
     differentiated w.r.t. (material table, directional ls, env texture).
 
     Returns a jitted fn(scene_data, cam, px, py, target_rows, key) ->
     (loss, grads) where grads is a pytree matching
-    (materials, directional.ls, env.tex).  All inputs may carry shardings —
-    pixel arrays row-sharded, scene replicated — and XLA inserts the gradient
-    all-reduce.
+    (MaterialGrads, directional.ls, env.tex).  All inputs may carry
+    shardings — pixel arrays row-sharded, scene replicated — and XLA inserts
+    the gradient all-reduce.
     """
 
     def loss_fn(params, scene, cam, px, py, target, key):
-        materials, dir_ls, env_tex = params
+        mat_f, dir_ls, env_tex = params
         lights = scene.lights
         env = lights.env._replace(tex=env_tex)
         dl = lights.directional._replace(ls=dir_ls)
         scene = scene._replace(
-            materials=materials,
+            materials=scene.materials._replace(**mat_f._asdict()),
             lights=lights._replace(env=env, directional=dl),
         )
         acc = render_tile_radiance(scene, cam, width, height, px, py, key, cfg, spp)
@@ -103,8 +115,9 @@ def make_train_step(cfg: RenderConfig, width: int, height: int, spp: int):
 
     @jax.jit
     def train_step(scene, cam, px, py, target, key):
+        m = scene.materials
         params = (
-            scene.materials,
+            MaterialGrads(m.albedo, m.roughness, m.metallic, m.fresnel, m.emissive),
             scene.lights.directional.ls,
             scene.lights.env.tex,
         )
