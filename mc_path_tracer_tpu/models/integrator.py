@@ -87,7 +87,7 @@ class RenderConfig:
 
     spp: int = DEFAULT_SPP
     max_depth: int = DEFAULT_MAX_DEPTH
-    accel: str = "bvh"             # "bvh" | "brute"
+    accel: str = "wide"            # "wide" | "bvh" | "brute"
     max_leaf: int = 4
     jitter: bool = False           # reference shoots pixel centers only
     reference_quirks: bool = False
@@ -97,12 +97,20 @@ class RenderConfig:
 def _intersect(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
     if cfg.accel == "brute":
         return intersect_brute(scene.tris, ro, rd)
+    if cfg.accel == "wide" and scene.wide is not None:
+        from mc_path_tracer_tpu.ops.wide_bvh import intersect_wide
+
+        return intersect_wide(scene.wide, scene.tris, ro, rd, mask=mask)
     return intersect_bvh(scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask)
 
 
 def _occluded(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None, t_max=None):
     if cfg.accel == "brute":
         return occluded_brute(scene.tris, ro, rd, t_max=t_max)
+    if cfg.accel == "wide" and scene.wide is not None:
+        from mc_path_tracer_tpu.ops.wide_bvh import occluded_wide
+
+        return occluded_wide(scene.wide, ro, rd, mask=mask, t_max=t_max)
     return occluded_bvh(
         scene.bvh, scene.tris, ro, rd, cfg.max_leaf, mask=mask, t_max=t_max
     )
@@ -126,7 +134,7 @@ def trace_radiance(
     bounce loop is unrolled (max_depth is static and small).
     """
     num_rays = ray_o.shape[0]
-    lights = scene.lights
+    lights = lights_mod.with_packed(scene.lights)
     n_lights = lights_mod.num_lights(lights)
     aid = lights_mod.area_light_id(lights)  # static; -1 when no area light
 

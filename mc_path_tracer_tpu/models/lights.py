@@ -43,6 +43,10 @@ class EnvLight(NamedTuple):
     ls: jnp.ndarray                       # [] radiance scale (Color mode only)
     tex: jnp.ndarray                      # [H, W, 3] HDR (dummy [1,1,3] in Color mode)
     dist: envmap.EnvMapDistribution
+    # quad-packed radiance table [H, W, 12] (envmap.pack_bilinear): one-gather
+    # bilinear fetches.  Built inside the trace (with_packed) so gradients
+    # reach `tex`; None at scene build.
+    packed: jnp.ndarray | None = None
 
 
 class DirectionalLights(NamedTuple):
@@ -280,10 +284,23 @@ def sample_dir(lights: LightSet, light_id: jnp.ndarray, u2: jnp.ndarray) -> jnp.
     return jnp.where((light_id == 0)[..., None], wi_env, wi_dir)
 
 
+def with_packed(lights: LightSet) -> LightSet:
+    """Attach the one-gather bilinear radiance table to an HDRI env light.
+    Call once at the top of a traced render; differentiable w.r.t. env.tex."""
+    if not env_is_hdri(lights.env) or lights.env.packed is not None:
+        return lights
+    return lights._replace(
+        env=lights.env._replace(packed=envmap.pack_bilinear(lights.env.tex))
+    )
+
+
 def radiance(lights: LightSet, light_id: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
     """L(wi) for each ray's chosen light."""
     if env_is_hdri(lights.env):
-        l_env = envmap.radiance(lights.env.tex, wi)
+        if lights.env.packed is not None:
+            l_env = envmap.radiance_packed(lights.env.packed, wi)
+        else:
+            l_env = envmap.radiance(lights.env.tex, wi)
     else:
         l_env = jnp.broadcast_to(lights.env.color * lights.env.ls, wi.shape)
     d = lights.directional.direction.shape[0]

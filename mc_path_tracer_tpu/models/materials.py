@@ -48,10 +48,26 @@ class MaterialTable(NamedTuple):
 
     def gather(self, material_id: jnp.ndarray, uv=None, atlas=None) -> MaterialParams:
         """Per-ray material parameters; textures applied when `uv` and a
-        non-empty `atlas` are given."""
-        albedo = self.albedo[material_id]
-        roughness = self.roughness[material_id]
-        metallic = self.metallic[material_id]
+        non-empty `atlas` are given.
+
+        The factor table is concatenated into one [M, 8] row so the per-ray
+        fetch is a single row gather (row gathers cost the same at any width
+        on TPU); the concat is traced from the float leaves, so gradients
+        still flow to albedo/roughness/metallic/fresnel."""
+        packed = jnp.concatenate(
+            [
+                self.albedo,
+                self.roughness[:, None],
+                self.metallic[:, None],
+                self.fresnel,
+            ],
+            axis=1,
+        )
+        row = packed[material_id]
+        albedo = row[..., 0:3]
+        roughness = row[..., 3]
+        metallic = row[..., 4]
+        fresnel = row[..., 5:8]
         if uv is not None and atlas is not None and atlas.count > 0:
             from mc_path_tracer_tpu.utils.texture import sample_atlas
 
@@ -63,7 +79,7 @@ class MaterialTable(NamedTuple):
             albedo=albedo,
             roughness=roughness,
             metallic=metallic,
-            fresnel=self.fresnel[material_id],
+            fresnel=fresnel,
         )
 
     def emission(self, material_id: jnp.ndarray, uv=None, atlas=None) -> jnp.ndarray:

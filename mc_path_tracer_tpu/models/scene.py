@@ -28,7 +28,7 @@ import numpy as np
 
 from mc_path_tracer_tpu.models import lights as lights_mod
 from mc_path_tracer_tpu.models.materials import MaterialTable, make_material_table
-from mc_path_tracer_tpu.ops.bvh import build_bvh
+from mc_path_tracer_tpu.ops.bvh import build_accel
 from mc_path_tracer_tpu.ops.intersect import BVHArrays, TriangleSoA
 from mc_path_tracer_tpu.utils import native
 from mc_path_tracer_tpu.utils.gltf import load_gltf
@@ -44,6 +44,7 @@ class SceneData(NamedTuple):
     materials: MaterialTable
     lights: lights_mod.LightSet
     atlas: "object" = None  # TextureAtlas (set in build())
+    wide: "object" = None   # ops.wide_bvh.WideBVH — the TPU traversal table
 
 
 def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
@@ -70,9 +71,13 @@ def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
 
 
 def concat_soa(parts: list[TriangleSoA]) -> TriangleSoA:
+    # attrs (the packed shading rows) is built by the BVH reorder, not here
+    fields = TriangleSoA._fields[: TriangleSoA._fields.index("attrs")]
     return TriangleSoA(
-        *[np.concatenate([np.asarray(c) for c in cols], axis=0)
-          for cols in zip(*parts)]
+        **{
+            f: np.concatenate([np.asarray(getattr(p, f)) for p in parts], axis=0)
+            for f in fields
+        }
     )
 
 
@@ -205,7 +210,9 @@ class Scene:
         if not self.material_albedo:
             self.add_material()
         tris = concat_soa(self.meshes)
-        bvh, tris = build_bvh(tris, max_leaf=self.max_leaf, method=self.bvh_method)
+        bvh, wide, tris = build_accel(
+            tris, max_leaf=self.max_leaf, method=self.bvh_method
+        )
         materials = make_material_table(
             np.stack(self.material_albedo),
             np.asarray(self.material_roughness, np.float32),
@@ -236,4 +243,5 @@ class Scene:
             tris=tris, bvh=bvh, materials=materials,
             lights=lights_mod.LightSet(env=self.env, directional=dl, area=al),
             atlas=build_atlas(self.textures),
+            wide=wide,
         )

@@ -64,15 +64,26 @@ def _numpy_build(bmin, bmax, max_leaf):
     return out_bmin, out_bmax, first, count, skip, np.array(ordered, np.int32)
 
 
-def build_bvh(
-    tris: TriangleSoA, max_leaf: int = 4, method: int = native.SAH
-) -> tuple[BVHArrays, TriangleSoA]:
-    """Build the acceleration structure and reorder triangles by leaf order
-    (the thrust::gather step of Scene.cu:459-469).
+def _pack_attrs(n0, n1, n2, uv0, uv1, uv2, material_id) -> np.ndarray:
+    """Per-triangle shading attributes in one gatherable row [T, 16]
+    (n0 n1 n2 | uv0 uv1 uv2 | material_id) — row gathers cost the same for
+    any width, so one 16-wide gather replaces seven narrow ones."""
+    return np.concatenate(
+        [
+            np.asarray(n0, np.float32),
+            np.asarray(n1, np.float32),
+            np.asarray(n2, np.float32),
+            np.asarray(uv0, np.float32),
+            np.asarray(uv1, np.float32),
+            np.asarray(uv2, np.float32),
+            np.asarray(material_id, np.float32)[:, None],
+        ],
+        axis=1,
+    )
 
-    Returns (bvh, reordered_tris); `method` is one of utils.native.{SAH,
-    MIDDLE, EQUAL_COUNTS, LBVH}.
-    """
+
+def _build_binary(tris: TriangleSoA, max_leaf: int, method: int):
+    """Shared host build: native/numpy binary BVH + numpy-reordered columns."""
     v0 = np.asarray(tris.v0, np.float32)
     e1 = np.asarray(tris.e1, np.float32)
     e2 = np.asarray(tris.e2, np.float32)
@@ -83,22 +94,26 @@ def build_bvh(
         result = _numpy_build(bmin, bmax, max_leaf)
     nb_min, nb_max, first, count, skip, order = result
 
-    def reorder(a):
-        return jnp.asarray(np.asarray(a)[order])
-
-    new_tris = TriangleSoA(
-        v0=reorder(tris.v0),
-        e1=reorder(tris.e1),
-        e2=reorder(tris.e2),
-        n0=reorder(tris.n0),
-        n1=reorder(tris.n1),
-        n2=reorder(tris.n2),
-        uv0=reorder(tris.uv0),
-        uv1=reorder(tris.uv1),
-        uv2=reorder(tris.uv2),
-        material_id=reorder(tris.material_id),
-        face_normal=reorder(tris.face_normal),
+    cols = {
+        name: np.asarray(getattr(tris, name))[order]
+        for name in (
+            "v0", "e1", "e2", "n0", "n1", "n2",
+            "uv0", "uv1", "uv2", "material_id", "face_normal",
+        )
+    }
+    attrs = _pack_attrs(
+        cols["n0"], cols["n1"], cols["n2"],
+        cols["uv0"], cols["uv1"], cols["uv2"], cols["material_id"],
     )
+    new_tris = TriangleSoA(
+        **{k: jnp.asarray(v) for k, v in cols.items()},
+        attrs=jnp.asarray(attrs),
+    )
+    return (nb_min, nb_max, first, count, skip), cols, new_tris
+
+
+def _binary_arrays(nodes, max_leaf: int) -> BVHArrays:
+    nb_min, nb_max, first, count, skip = nodes
     assert max_leaf <= 15, "packed node meta reserves 4 bits for leaf count"
     # packed node table assembled host-side (numpy bit views), one transfer
     meta = (first.astype(np.int32) * 16 + count.astype(np.int32)).view(np.float32)
@@ -111,7 +126,7 @@ def build_bvh(
         ],
         axis=1,
     )
-    bvh = BVHArrays(
+    return BVHArrays(
         bmin=jnp.asarray(nb_min),
         bmax=jnp.asarray(nb_max),
         first=jnp.asarray(first),
@@ -119,4 +134,35 @@ def build_bvh(
         skip=jnp.asarray(skip),
         packed=jnp.asarray(packed),
     )
-    return bvh, new_tris
+
+
+def build_bvh(
+    tris: TriangleSoA, max_leaf: int = 4, method: int = native.SAH
+) -> tuple[BVHArrays, TriangleSoA]:
+    """Build the acceleration structure and reorder triangles by leaf order
+    (the thrust::gather step of Scene.cu:459-469).
+
+    Returns (bvh, reordered_tris); `method` is one of utils.native.{SAH,
+    MIDDLE, EQUAL_COUNTS, LBVH}.
+    """
+    nodes, _, new_tris = _build_binary(tris, max_leaf, method)
+    return _binary_arrays(nodes, max_leaf), new_tris
+
+
+def build_accel(
+    tris: TriangleSoA, max_leaf: int = 4, method: int = native.SAH
+):
+    """Full accelerator build: binary threaded BVH + the wide (16-ary,
+    inline-leaf) row table used by the TPU traversal (ops/wide_bvh.py).
+
+    Returns (bvh, wide, reordered_tris).
+    """
+    from mc_path_tracer_tpu.ops.wide_bvh import build_wide
+
+    nodes, cols, new_tris = _build_binary(tris, max_leaf, method)
+    nb_min, nb_max, first, count, skip = nodes
+    wide = build_wide(
+        nb_min, nb_max, first, count, skip,
+        cols["v0"], cols["e1"], cols["e2"],
+    )
+    return _binary_arrays(nodes, max_leaf), wide, new_tris

@@ -113,7 +113,14 @@ def sample_direction(
     """
     h, w = dist.cond_cdf.shape
     ey, ex = u[..., 1], u[..., 0]
-    y = jnp.clip(jnp.searchsorted(dist.marginal_cdf, ey, side="right"), 0, h - 1)
+    # broadcast compare-and-count == searchsorted(side="right") without the
+    # log(H) sequential row gathers XLA lowers binary search to (row gathers
+    # cost ~20ns/lane on TPU; one [R, H] compare is pure VPU work)
+    y = jnp.clip(
+        jnp.sum((dist.marginal_cdf[None, :] <= ey[..., None]).astype(jnp.int32),
+                axis=-1),
+        0, h - 1,
+    )
     row_cdf = dist.cond_cdf[y]                 # gather rows [..., W]
     x = jnp.clip(
         jnp.sum((row_cdf <= ex[..., None]).astype(jnp.int32), axis=-1), 0, w - 1
@@ -175,6 +182,42 @@ def bilinear_wrap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 def radiance(tex: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
     """L(wi): equirect bilinear lookup (EnvironmentLight.cu:34-47)."""
     return bilinear_wrap(tex, equirect_uv(wi))
+
+
+def pack_bilinear(tex: jnp.ndarray) -> jnp.ndarray:
+    """Quad-packed texture [H, W, 12]: each texel row carries itself and its
+    +x / +y / +x+y wrap neighbors, so a bilinear fetch is ONE row gather
+    instead of four (TPU row gathers are row-count-bound, width-free).
+
+    Traced from `tex` (rolls + concat), so env-texel gradients flow through
+    packed fetches unchanged."""
+    tx = jnp.roll(tex, -1, axis=1)
+    ty = jnp.roll(tex, -1, axis=0)
+    txy = jnp.roll(tx, -1, axis=0)
+    return jnp.concatenate([tex, tx, ty, txy], axis=-1)
+
+
+def radiance_packed(packed: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear equirect fetch from a pack_bilinear table — numerically
+    identical to radiance() (same wrap addressing)."""
+    h, w = packed.shape[0], packed.shape[1]
+    uv = equirect_uv(wi)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    q = packed[y0i, x0i]                        # one [.., 12] row gather
+    t00, t01, t10, t11 = q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t01 * fx * (1 - fy)
+        + t10 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
 
 
 def sample_color_mode(u: jnp.ndarray) -> jnp.ndarray:

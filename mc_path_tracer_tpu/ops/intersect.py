@@ -54,6 +54,11 @@ class TriangleSoA(NamedTuple):
     uv2: jnp.ndarray         # [T, 2]
     material_id: jnp.ndarray  # [T] int32
     face_normal: jnp.ndarray  # [T, 3]
+    # packed shading-attribute rows [T, 16] (n0 n1 n2 uv0 uv1 uv2 mat):
+    # row gathers cost the same at any width on TPU, so hit shading reads
+    # one 16-wide row instead of seven narrow gathers.  Built by the BVH
+    # reorder (ops/bvh._build_binary); None before that.
+    attrs: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -156,6 +161,21 @@ def _shade_attrs(tris: TriangleSoA, tri_id, u, v, ray_o, ray_d, t, hit):
     tid = jnp.maximum(tri_id, 0)
     w = (1.0 - u - v)[..., None]
     uu, vv = u[..., None], v[..., None]
+    if tris.attrs is not None:
+        a = tris.attrs[tid]                    # one 16-wide row gather
+        n = normalize(uu * a[:, 3:6] + vv * a[:, 6:9] + w * a[:, 0:3])
+        uv = uu * a[:, 11:13] + vv * a[:, 13:15] + w * a[:, 9:11]
+        mat = jnp.where(hit, a[:, 15].astype(jnp.int32), 0)
+        pos = ray_o + t[..., None] * ray_d
+        return Hit(
+            hit=hit,
+            t=t,
+            tri_id=jnp.where(hit, tri_id, -1),
+            position=pos,
+            normal=n,
+            uv=uv,
+            material_id=mat,
+        )
     n = normalize(uu * tris.n1[tid] + vv * tris.n2[tid] + w * tris.n0[tid])
     uv = uu * tris.uv1[tid] + vv * tris.uv2[tid] + w * tris.uv0[tid]
     pos = ray_o + t[..., None] * ray_d
