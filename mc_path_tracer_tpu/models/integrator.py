@@ -191,14 +191,8 @@ def trace_radiance(
                 jnp.full_like(dist_a, 1e32),
             )
 
-        # ---- shadow ray (wf_shadow; offset logic:214) ----
-        shadow_o = pos + n * SHADOW_OFFSET
-        visible = (
-            ~_occluded(scene, cfg, shadow_o, wl, mask=alive, t_max=shadow_tmax)
-            & alive
-        )
-
         # ---- light-sample estimator (mat_mix:320-329) ----
+        shadow_o = pos + n * SHADOW_OFFSET
         f_light = brdf.mixture_f(mat, n, wl, wo)
         pdf_brdf_at_wl = sg(
             jnp.where(delta, 1.0, brdf.mixture_pdf(mat, n, wl, wo))
@@ -210,6 +204,11 @@ def trace_radiance(
             # area lights need the closest hit of the brdf ray (did it reach
             # the emissive surface?); env visibility falls out of the same
             # trace (escaped == visible), so no separate occlusion test.
+            visible = (
+                ~_occluded(scene, cfg, shadow_o, wl, mask=alive,
+                           t_max=shadow_tmax)
+                & alive
+            )
             hit_b = jax.tree.map(
                 sg,
                 _intersect(scene, cfg, pos + wb * VIS_OFFSET, wb,
@@ -228,12 +227,18 @@ def trace_radiance(
                 is_area, sg(pdf_sa_hit), lights_mod.pdf(lights, l_id, wb)
             )
         else:
-            vis2 = (
-                ~_occluded(scene, cfg, pos + wb * VIS_OFFSET, wb,
-                           mask=alive & ~delta)
-                & ~delta
-                & alive
+            # one fused any-hit dispatch for BOTH the shadow ray (light
+            # sample) and the brdf-sample visibility ray: 2R-lane gathers
+            # are ~30% cheaper per row and the per-dispatch fixed cost is
+            # paid once (wf_shadow + the mat_mix inline test, fused)
+            occ2 = _occluded(
+                scene, cfg,
+                jnp.concatenate([shadow_o, pos + wb * VIS_OFFSET], axis=0),
+                jnp.concatenate([wl, wb], axis=0),
+                mask=jnp.concatenate([alive, alive & ~delta], axis=0),
             )
+            visible = ~occ2[:num_rays] & alive
+            vis2 = ~occ2[num_rays:] & ~delta & alive
             li_brdf_raw = lights_mod.radiance(lights, l_id, wb)
             pdf_l_at_wb_raw = lights_mod.pdf(lights, l_id, wb)
         f_brdf = jnp.where(vis2[..., None], brdf.mixture_f(mat, n, wb, wo), 0.0)

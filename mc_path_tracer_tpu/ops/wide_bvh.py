@@ -190,20 +190,27 @@ _SEL = np.zeros((LANES, 3), np.float32)
 _SEL[0, 0] = _SEL[1, 1] = _SEL[2, 2] = 1.0
 
 
-def _traverse_wide(
+def _run_phase(
     rows: jnp.ndarray,
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
     depth: int,
     any_hit: bool,
-    mask: jnp.ndarray | None = None,
-    t_max: jnp.ndarray | None = None,
-    debug_steps: bool = False,
+    t_max: jnp.ndarray | None,
+    d0: jnp.ndarray,
+    seeds,
+    max_steps,
 ):
-    """Trail-stack traversal.  Per while-step each lane either consumes one
-    untried hit child from its trail (one row gather + tests) or pops a
-    level.  All lanes run the identical instruction stream; finished lanes
-    idle on row 0."""
+    """One lockstep traversal run from a fresh root trail.  Per while-step
+    each lane either consumes one untried hit child from its trail (one row
+    gather + tests) or pops a level.  All lanes run the identical
+    instruction stream; finished lanes idle on row 0.
+
+    `seeds` = (t_best, tri_id, u, v, occ, lane_steps) carried in — a later
+    phase restarts stragglers from the root with the t_best found so far,
+    which prunes the already-resolved part of the tree immediately.
+    Returns the updated seeds plus the final per-lane depth d.
+    """
     num_rays = ray_o.shape[0]
     n_rows = rows.shape[0]
     inv_d = jnp.reciprocal(
@@ -370,7 +377,7 @@ def _traverse_wide(
     def cond(state):
         d = state[0]
         steps = state[-1]
-        return jnp.any(d >= 0) & (steps < 8 * n_rows + 64)
+        return jnp.any(d >= 0) & (steps < max_steps)
 
     def body(state):
         *s, lane_steps, steps = state
@@ -379,12 +386,11 @@ def _traverse_wide(
             lane_steps = lane_steps + alive.astype(jnp.int32)
         return (*s, lane_steps, steps + WIDE_UNROLL)
 
-    d0 = jnp.zeros(num_rays, jnp.int32)
-    if mask is not None:
-        d0 = jnp.where(mask, 0, -1)
+    t_best0, tri_id0, u0, v0, occ0, lane_steps0 = seeds
     zeros = lambda: [jnp.zeros(num_rays, jnp.int32) for _ in range(levels)]
     cnts0 = [
-        jnp.full(num_rays, 1 if l == 0 else 0, jnp.int32) for l in range(levels)
+        jnp.where(d0 >= 0, 1, 0) if l == 0 else jnp.zeros(num_rays, jnp.int32)
+        for l in range(levels)
     ]
     state = (
         d0,
@@ -392,18 +398,103 @@ def _traverse_wide(
         zeros(),            # los: root trail nibble 0 -> the root row itself
         zeros(),            # his
         cnts0,
+        t_best0,
+        tri_id0,
+        u0,
+        v0,
+        occ0,
+        lane_steps0,
+        jnp.zeros((), jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return out[5], out[6], out[7], out[8], out[9], out[10], out[0]
+
+
+# phase-1 step budget (multiple of WIDE_UNROLL) and rescue width: phase 1
+# runs the full batch in lockstep for RESCUE_STEPS, then the unresolved
+# stragglers (typically <10% of lanes — the lockstep tail would otherwise
+# stall the whole batch at full gather bandwidth) restart at RESCUE_LANES.
+RESCUE_STEPS = 16
+RESCUE_LANES = 16384
+
+
+def _fresh_seeds(num_rays):
+    return (
         jnp.full(num_rays, K_HUGE, jnp.float32),
         jnp.full(num_rays, -1, jnp.int32),
         jnp.zeros(num_rays, jnp.float32),
         jnp.zeros(num_rays, jnp.float32),
         jnp.zeros(num_rays, bool),
-        jnp.zeros(num_rays, jnp.int32),   # per-lane step counter
-        jnp.zeros((), jnp.int32),
+        jnp.zeros(num_rays, jnp.int32),
     )
-    out = jax.lax.while_loop(cond, body, state)
-    t_best, tri_id, u, v, occ = out[5], out[6], out[7], out[8], out[9]
+
+
+def _traverse_wide(
+    rows: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    depth: int,
+    any_hit: bool,
+    mask: jnp.ndarray | None = None,
+    t_max: jnp.ndarray | None = None,
+    debug_steps: bool = False,
+):
+    """Trail-stack traversal with straggler rescue.
+
+    Lockstep cost is max-lane-bound while per-lane work is heavily skewed
+    (median ~6 rows, tail ~50+), and idle lanes still pay full gather
+    bandwidth.  So: phase 1 runs everyone for RESCUE_STEPS; phase 2
+    restarts the unresolved tail (compacted to RESCUE_LANES lanes, seeded
+    with phase-1 t_best so the resolved subtree prunes instantly); phase 3
+    is a full-width fallback for the (normally empty) overflow, so the
+    result is exact for any straggler count.
+    """
+    num_rays = ray_o.shape[0]
+    n_rows = rows.shape[0]
+    full_steps = 8 * n_rows + 64
+    d0 = jnp.zeros(num_rays, jnp.int32)
+    if mask is not None:
+        d0 = jnp.where(mask, 0, -1)
+    seeds = _fresh_seeds(num_rays)
+
+    if num_rays < 4 * RESCUE_LANES:
+        out = _run_phase(
+            rows, ray_o, ray_d, depth, any_hit, t_max, d0, seeds, full_steps
+        )
+        t_best, tri_id, u, v, occ, lane_steps, _ = out
+    else:
+        # ---- phase 1: full width, bounded steps ----
+        t_best, tri_id, u, v, occ, lane_steps, d1 = _run_phase(
+            rows, ray_o, ray_d, depth, any_hit, t_max, d0, seeds, RESCUE_STEPS
+        )
+        unfinished = d1 >= 0
+        # ---- phase 2: compact the tail, restart from the root ----
+        perm = jnp.argsort(jnp.where(unfinished, 0, 1))[:RESCUE_LANES]
+        sub = lambda a: a[perm]
+        d0_2 = jnp.where(unfinished[perm], 0, -1)
+        seeds2 = (sub(t_best), sub(tri_id), sub(u), sub(v), sub(occ),
+                  sub(lane_steps))
+        tb2, ti2, u2, v2, occ2, ls2, _ = _run_phase(
+            rows, sub(ray_o), sub(ray_d), depth, any_hit,
+            None if t_max is None else sub(t_max),
+            d0_2, seeds2, full_steps,
+        )
+        t_best = t_best.at[perm].set(tb2)
+        tri_id = tri_id.at[perm].set(ti2)
+        u = u.at[perm].set(u2)
+        v = v.at[perm].set(v2)
+        occ = occ.at[perm].set(occ2)
+        lane_steps = lane_steps.at[perm].set(ls2)
+        # ---- phase 3: full-width fallback for tail overflow (rare) ----
+        selected = jnp.zeros(num_rays, bool).at[perm].set(True)
+        leftover = unfinished & ~selected
+        d0_3 = jnp.where(leftover, 0, -1)
+        t_best, tri_id, u, v, occ, lane_steps, _ = _run_phase(
+            rows, ray_o, ray_d, depth, any_hit, t_max, d0_3,
+            (t_best, tri_id, u, v, occ, lane_steps), full_steps,
+        )
     if debug_steps:
-        return t_best, tri_id, u, v, occ, out[10]
+        return t_best, tri_id, u, v, occ, lane_steps
     if any_hit:
         return occ
     return t_best, tri_id, u, v

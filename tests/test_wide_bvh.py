@@ -109,3 +109,25 @@ def test_shade_attrs_packed_matches_unpacked():
     np.testing.assert_array_equal(
         np.asarray(out.material_id), np.asarray(out_unpacked.material_id)
     )
+
+
+def test_wide_rescue_path_matches():
+    """Batches >= 64k rays take the straggler-rescue path (phase 1 + compact
+    tail restart + fallback); results must equal the single-phase oracle."""
+    import jax.numpy as jnp
+    from mc_path_tracer_tpu.ops import wide_bvh as wb
+
+    tris = random_scene(n=400, seed=21)
+    bvh, wide, rtris = _build(tris)
+    n = 4 * wb.RESCUE_LANES  # cutoff: rescue engages at this size
+    ro, rd = random_rays(n=n, seed=22)
+    out = wb.intersect_wide(wide, rtris, ro, rd)
+    ref = isect.intersect_bvh(bvh, rtris, ro, rd)
+    np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+    )
+    occ = wb.occluded_wide(wide, ro, rd)
+    occ_ref = isect.occluded_bvh(bvh, rtris, ro, rd)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
