@@ -127,13 +127,19 @@ def trace_radiance(
     ray_d: jnp.ndarray,
     key: jax.Array,
     cfg: RenderConfig,
+    pid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Path-trace one sample for each input ray; returns radiance [R, 3].
 
     This is the fused logic/generate/mat_mix/extend/shadow program; the
     bounce loop is unrolled (max_depth is static and small).
+
+    `pid` keys each lane's random stream (the renderer passes pixel ids, so
+    noise is invariant to chunking/sharding); defaults to array position.
     """
     num_rays = ray_o.shape[0]
+    if pid is None:
+        pid = jnp.arange(num_rays, dtype=jnp.int32)
     lights = lights_mod.with_packed(scene.lights)
     n_lights = lights_mod.num_lights(lights)
     aid = lights_mod.area_light_id(lights)  # static; -1 when no area light
@@ -161,7 +167,7 @@ def trace_radiance(
 
     # NEE happens at hits 1..max_depth-1 (see module docstring).
     for bounce in range(1, cfg.max_depth):
-        u = rng.uniforms(jax.random.fold_in(key, bounce), (num_rays,), 10)
+        u = rng.pixel_uniforms(jax.random.fold_in(key, bounce), pid, 10)
         u = sg(u)
         pos, n = isect.position, isect.normal
         mat = scene.materials.gather(isect.material_id, isect.uv, scene.atlas)
@@ -304,18 +310,22 @@ def trace_radiance(
 
 
 def _sample_pass(scene, cfg, camera, width, height, px, py, key, sample_idx):
-    """One spp pass over all pixels (checkpointed: path-replay backward)."""
+    """One spp pass over all pixels (checkpointed: path-replay backward).
+
+    All randomness is keyed by pixel id (rng.pixel_uniforms), so the frame
+    renders identically however it is chunked into blocks or sharded across
+    devices."""
     skey = jax.random.fold_in(key, sample_idx)
-    shape = px.shape
+    pid = (py * width + px).astype(jnp.int32)
     if cfg.jitter:
-        uj = rng.uniforms(jax.random.fold_in(skey, 1_000_003), shape, 2)
+        uj = rng.pixel_uniforms(jax.random.fold_in(skey, 1_000_003), pid, 2)
         pxj = px + uj[..., 0] - 0.5
         pyj = py + uj[..., 1] - 0.5
     else:
         pxj, pyj = px, py  # pixel centers, as the reference (Camera.cu:21-22)
-    lens_u = rng.uniforms(jax.random.fold_in(skey, 1_000_007), shape, 2)
+    lens_u = rng.pixel_uniforms(jax.random.fold_in(skey, 1_000_007), pid, 2)
     ro, rd = camera_mod.gen_camera_rays(camera, width, height, pxj, pyj, lens_u)
-    return trace_radiance(scene, ro, rd, skey, cfg)
+    return trace_radiance(scene, ro, rd, skey, cfg, pid=pid)
 
 
 PIXEL_CHUNK = 65536
@@ -370,13 +380,11 @@ def render_tile_radiance(
             [x, jnp.zeros((pad,), x.dtype)]
         ).reshape(n_chunks, PIXEL_CHUNK)
 
-    # each chunk folds its index into the key: distinct random streams per
-    # block (identical keys would repeat the noise pattern every chunk)
-    chunk_keys = jax.vmap(lambda i: jax.random.fold_in(key, 1_000_000 + i))(
-        jnp.arange(n_chunks)
-    )
+    # noise is keyed by pixel id, so every chunk uses the same base key and
+    # the result is independent of the chunking
     acc = jax.lax.map(
-        lambda args: chunk_radiance(*args), (blocked(px), blocked(py), chunk_keys)
+        lambda args: chunk_radiance(args[0], args[1], key),
+        (blocked(px), blocked(py)),
     )
     return acc.reshape(-1, 3)[:num_rays]
 
@@ -408,13 +416,12 @@ def _render_full(scene, camera, key, cfg, width, height, spp):
     py = np.concatenate([py, np.zeros(pad, np.float32)])
     chunks = []
     for c in range(len(px) // block):
-        kc = jax.random.fold_in(key, 1_000_000 + c)
         chunks.append(
             _render_block(
                 scene, camera,
                 jnp.asarray(px[c * block : (c + 1) * block]),
                 jnp.asarray(py[c * block : (c + 1) * block]),
-                kc, cfg, width, height, spp,
+                key, cfg, width, height, spp,
             )
         )
     acc = jnp.concatenate(chunks, axis=0)[:num_rays]
@@ -472,9 +479,11 @@ def render_progressive(
 
     passes = (cfg.spp + spp_per_pass - 1) // spp_per_pass
     for p in range(passes):
+        kp = jax.random.fold_in(key, p)
         for i, (x0, y0, tw, th) in enumerate(tile_grid(width, height, tile)):
-            k = jax.random.fold_in(jax.random.fold_in(key, p), i)
-            acc = tile_pass(scene_data, cam_params, x0, y0, k, tw, th)
+            # noise is pixel-keyed: tiles need no per-tile fold and the
+            # accumulated frame is independent of the tile decomposition
+            acc = tile_pass(scene_data, cam_params, x0, y0, kp, tw, th)
             film = Film(
                 ld=film.ld.at[y0 : y0 + th, x0 : x0 + tw].add(acc),
                 samples=film.samples.at[y0 : y0 + th, x0 : x0 + tw].add(

@@ -28,6 +28,7 @@ from mc_path_tracer_tpu.models.film import Film
 from mc_path_tracer_tpu.models.scene import SceneData
 from mc_path_tracer_tpu.ops import brdf, envmap
 from mc_path_tracer_tpu.ops.intersect import intersect_bvh
+from mc_path_tracer_tpu.ops.wide_bvh import intersect_wide
 
 PREVIEW_MODES = (
     "shaded",
@@ -58,7 +59,10 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
     ro, rd = camera_mod.gen_camera_rays(
         cam, width, height, px, py, jnp.zeros((px.shape[0], 2))
     )
-    hit = intersect_bvh(scene.bvh, scene.tris, ro, rd)
+    if scene.wide is not None:
+        hit = intersect_wide(scene.wide, scene.tris, ro, rd)
+    else:
+        hit = intersect_bvh(scene.bvh, scene.tris, ro, rd)
     mat = scene.materials.gather(hit.material_id, hit.uv, scene.atlas)
     hmask = hit.hit[..., None]
 

@@ -24,3 +24,15 @@ def bounce_key(base_key: jax.Array, sample_idx, bounce_idx) -> jax.Array:
 def uniforms(key: jax.Array, shape, n: int) -> jnp.ndarray:
     """Draw `n` independent uniform [0,1) variates per ray: shape [*shape, n]."""
     return jax.random.uniform(key, tuple(shape) + (n,), dtype=jnp.float32)
+
+
+def pixel_uniforms(key: jax.Array, pid: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-pixel uniform streams: `n` variates per lane keyed by the lane's
+    *pixel id*, not its array position — the noise a pixel sees is invariant
+    to how the frame is chunked into blocks or sharded across devices, so a
+    sharded render is bit-identical to the single-device one.  Shape
+    [*pid.shape, n]."""
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, pid)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=jnp.float32))(
+        keys
+    )

@@ -35,13 +35,31 @@ def _pixel_grid(width: int, height: int):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "width", "height", "spp"),
-)
-def _render_rows(scene, cam, px, py, key, cfg, width, height, spp):
-    acc = render_tile_radiance(scene, cam, width, height, px, py, key, cfg, spp)
-    return acc
+def _render_rows_fn(mesh, cfg, width, height, spp):
+    """Jitted shard_map renderer for `mesh`: every device runs its own
+    *local* render program over its pixel rows — local traversal while-loops,
+    local straggler rescue, zero collectives in the forward pass.  (Plain
+    sharding propagation would make every traversal while-iteration's
+    cross-lane `any` a cross-device all-reduce — measured to scale
+    *negatively*.)  Noise is pixel-keyed (rng.pixel_uniforms), so the result
+    is bit-identical to the single-device render."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(scene, cam, px, py, key):
+        return render_tile_radiance(
+            scene, cam, width, height, px, py, key, cfg, spp
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P()),
+            out_specs=P(TILE_AXIS),
+            check_rep=False,
+        )
+    )
 
 
 def render_sharded(
@@ -74,7 +92,8 @@ def render_sharded(
     py = jax.device_put(py, shard)
     scene_r = jax.device_put(scene_data, repl)
     cam_r = jax.device_put(cam, repl)
-    acc = _render_rows(scene_r, cam_r, px, py, key, cfg, width, height, cfg.spp)
+    fn = _render_rows_fn(mesh, cfg, width, height, cfg.spp)
+    acc = fn(scene_r, cam_r, px, py, key)
     return acc.reshape(height, width, 3)
 
 
@@ -89,16 +108,26 @@ class MaterialGrads(NamedTuple):
     emissive: jnp.ndarray
 
 
-def make_train_step(cfg: RenderConfig, width: int, height: int, spp: int):
+def make_train_step(
+    cfg: RenderConfig, width: int, height: int, spp: int, mesh=None
+):
     """Inverse-rendering step: L2 loss of the rendered image against a target,
     differentiated w.r.t. (material table, directional ls, env texture).
 
     Returns a jitted fn(scene_data, cam, px, py, target_rows, key) ->
     (loss, grads) where grads is a pytree matching
-    (MaterialGrads, directional.ls, env.tex).  All inputs may carry
-    shardings — pixel arrays row-sharded, scene replicated — and XLA inserts
-    the gradient all-reduce.
+    (MaterialGrads, directional.ls, env.tex).  With `mesh`, the render runs
+    under shard_map (rows sharded, scene replicated) and the transpose
+    all-reduces the replicated parameters' gradients over the mesh; without
+    it, inputs may still carry shardings and XLA propagates them.
     """
+    render_fn = (
+        _render_rows_fn(mesh, cfg, width, height, spp)
+        if mesh is not None
+        else lambda scene, cam, px, py, key: render_tile_radiance(
+            scene, cam, width, height, px, py, key, cfg, spp
+        )
+    )
 
     def loss_fn(params, scene, cam, px, py, target, key):
         mat_f, dir_ls, env_tex = params
@@ -109,7 +138,7 @@ def make_train_step(cfg: RenderConfig, width: int, height: int, spp: int):
             materials=scene.materials._replace(**mat_f._asdict()),
             lights=lights._replace(env=env, directional=dl),
         )
-        acc = render_tile_radiance(scene, cam, width, height, px, py, key, cfg, spp)
+        acc = render_fn(scene, cam, px, py, key)
         img = acc / spp
         return jnp.mean((img - target) ** 2)
 
