@@ -463,35 +463,53 @@ def _traverse_wide(
         )
         t_best, tri_id, u, v, occ, lane_steps, _ = out
     else:
-        # ---- phase 1: full width, bounded steps ----
-        t_best, tri_id, u, v, occ, lane_steps, d1 = _run_phase(
-            rows, ray_o, ray_d, depth, any_hit, t_max, d0, seeds, RESCUE_STEPS
-        )
-        unfinished = d1 >= 0
-        # ---- phase 2: compact the tail, restart from the root ----
-        perm = jnp.argsort(jnp.where(unfinished, 0, 1))[:RESCUE_LANES]
-        sub = lambda a: a[perm]
-        d0_2 = jnp.where(unfinished[perm], 0, -1)
-        seeds2 = (sub(t_best), sub(tri_id), sub(u), sub(v), sub(occ),
-                  sub(lane_steps))
-        tb2, ti2, u2, v2, occ2, ls2, _ = _run_phase(
-            rows, sub(ray_o), sub(ray_d), depth, any_hit,
-            None if t_max is None else sub(t_max),
-            d0_2, seeds2, full_steps,
-        )
-        t_best = t_best.at[perm].set(tb2)
-        tri_id = tri_id.at[perm].set(ti2)
-        u = u.at[perm].set(u2)
-        v = v.at[perm].set(v2)
-        occ = occ.at[perm].set(occ2)
-        lane_steps = lane_steps.at[perm].set(ls2)
-        # ---- phase 3: full-width fallback for tail overflow (rare) ----
-        selected = jnp.zeros(num_rays, bool).at[perm].set(True)
-        leftover = unfinished & ~selected
-        d0_3 = jnp.where(leftover, 0, -1)
-        t_best, tri_id, u, v, occ, lane_steps, _ = _run_phase(
-            rows, ray_o, ray_d, depth, any_hit, t_max, d0_3,
-            (t_best, tri_id, u, v, occ, lane_steps), full_steps,
+        def compacted_run(want, d0w, seedsw, max_steps):
+            """Run one phase on the `want` lanes compacted to RESCUE_LANES
+            (active-first argsort), scattered back into full-width seeds."""
+            perm = jnp.argsort(jnp.where(want, 0, 1))[:RESCUE_LANES]
+            sub = lambda a: a[perm]
+            outs = _run_phase(
+                rows, sub(ray_o), sub(ray_d), depth, any_hit,
+                None if t_max is None else sub(t_max),
+                jnp.where(want[perm], 0, -1),
+                tuple(sub(a) for a in seedsw), max_steps,
+            )
+            merged = tuple(
+                a.at[perm].set(o) for a, o in zip(seedsw, outs[:6])
+            )
+            selected = jnp.zeros(num_rays, bool).at[perm].set(True)
+            return merged, want & ~selected
+
+        def fallback(leftover, seedsw):
+            """Exact full-width pass for compaction overflow (normally a
+            zero-iteration while)."""
+            return _run_phase(
+                rows, ray_o, ray_d, depth, any_hit, t_max,
+                jnp.where(leftover, 0, -1), seedsw, full_steps,
+            )[:6]
+
+        def small_route(_):
+            # few active lanes (late bounces after RR, mixed sky blocks):
+            # skip the full-width phase entirely — the whole traversal runs
+            # compacted at RESCUE_LANES, 4x less gather bandwidth
+            merged, leftover = compacted_run(d0 >= 0, d0, seeds, full_steps)
+            return fallback(leftover, merged)
+
+        def full_route(_):
+            # phase 1: full width, bounded steps
+            *p1, d1 = _run_phase(
+                rows, ray_o, ray_d, depth, any_hit, t_max, d0, seeds,
+                RESCUE_STEPS,
+            )
+            # phase 2: compact the straggler tail, restart from the root
+            # (seeded with phase-1 t_best: the resolved subtree prunes
+            # instantly); phase 3: exact full-width fallback for overflow
+            merged, leftover = compacted_run(d1 >= 0, d1, tuple(p1), full_steps)
+            return fallback(leftover, merged)
+
+        n_active = jnp.sum((d0 >= 0).astype(jnp.int32))
+        t_best, tri_id, u, v, occ, lane_steps = jax.lax.cond(
+            n_active <= RESCUE_LANES, small_route, full_route, None
         )
     if debug_steps:
         return t_best, tri_id, u, v, occ, lane_steps

@@ -131,3 +131,23 @@ def test_wide_rescue_path_matches():
     occ = wb.occluded_wide(wide, ro, rd)
     occ_ref = isect.occluded_bvh(bvh, rtris, ro, rd)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_wide_low_occupancy_route_matches():
+    """Mostly-masked big batches take the compacted small route."""
+    from mc_path_tracer_tpu.ops import wide_bvh as wb
+
+    tris = random_scene(n=300, seed=31)
+    bvh, wide, rtris = _build(tris)
+    n = 4 * wb.RESCUE_LANES
+    ro, rd = random_rays(n=n, seed=32)
+    mask = (np.arange(n) % 16) == 0  # ~6% active -> small route
+    mask_j = jnp.asarray(mask)
+    out = wb.intersect_wide(wide, rtris, ro, rd, mask=mask_j)
+    ref = isect.intersect_bvh(bvh, rtris, ro, rd, mask=mask_j)
+    np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+    )
+    assert not np.asarray(out.hit)[~mask].any()
