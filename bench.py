@@ -97,15 +97,20 @@ def main():
     jax.block_until_ready(acc)
     log(f"compile+first block: {time.perf_counter()-t0:.1f}s")
 
+    # sample blocks strided across the WHOLE frame (sky rows at the top are
+    # much cheaper than geometry rows; sampling only the first blocks would
+    # overstate throughput)
     n_timed = min(8, n_blocks)
+    stride = max(1, n_blocks // n_timed)
+    timed_blocks = list(range(0, n_blocks, stride))[:n_timed]
     t0 = time.perf_counter()
-    for c in range(n_timed):
+    for i, c in enumerate(timed_blocks):
         kc = jax.random.fold_in(key, 1_000_000 + c)
         px = (jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) + c * PIXEL_CHUNK) % width
         py = (jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) + c * PIXEL_CHUNK) // width
         acc = _render_block(scene_data, cam, px, py, kc, cfg, width, height, spp)
         jax.block_until_ready(acc)
-        log(f"block {c+1}/{n_timed} done {time.perf_counter()-t0:.2f}s")
+        log(f"block {c}/{n_blocks} done {time.perf_counter()-t0:.2f}s")
     dt_block = (time.perf_counter() - t0) / n_timed
     frame_s = dt_block * n_blocks
 

@@ -119,6 +119,34 @@ def build_wide(
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 10000))
 
+    def merged_entries(cut):
+        """Children of a wide node: cut subtrees in DFS (= triangle-range)
+        order, with runs of adjacent small subtrees merged into single fuller
+        leaves (their triangle ranges are contiguous, so a merged leaf is
+        just a wider range; its AABB is the union).  Raises leaf fill from
+        ~60% toward capacity, shrinking both rows and traversal steps."""
+        entries = []  # ("node", id) | ("leaf", tf, tc, bmin, bmax)
+        for c in sorted(cut, key=lambda x: tf[x]):
+            if tc[c] > leaf_tris:
+                entries.append(("node", c))
+                continue
+            if (
+                entries
+                and entries[-1][0] == "leaf"
+                and entries[-1][2] + tc[c] <= leaf_tris
+            ):
+                _, f0, c0, lo, hi = entries[-1]
+                entries[-1] = (
+                    "leaf", f0, c0 + int(tc[c]),
+                    np.minimum(lo, bmin[c]), np.maximum(hi, bmax[c]),
+                )
+            else:
+                entries.append(
+                    ("leaf", int(tf[c]), int(tc[c]),
+                     bmin[c].copy(), bmax[c].copy())
+                )
+        return entries
+
     def fill(i: int, rid: int) -> int:
         """Build the wide node for binary subtree i into row rid; returns
         subtree depth in wide levels."""
@@ -128,24 +156,29 @@ def build_wide(
         # collect up to `branching` cut nodes under i, expanding the
         # largest-triangle-count inner node first (greedy SAH-ish cut)
         cut = [left[i], right[i]]
-        while len(cut) < branching:
+        while len(merged_entries(cut)) < branching:
             cand = [c for c in cut if count[c] == 0 and tc[c] > leaf_tris]
             if not cand:
                 break
             c = max(cand, key=lambda x: tc[x])
             cut.remove(c)
             cut.extend([left[c], right[c]])
+        entries = merged_entries(cut)
         base = len(rows)
-        for _ in cut:
+        for _ in entries:
             new_row()
-        rows[rid] = (
-            "inner",
-            base,
-            [(bmin[c].copy(), bmax[c].copy()) for c in cut],
-        )
+        boxes = []
         d = 0
-        for k, c in enumerate(cut):
-            d = max(d, fill(c, base + k))
+        for k, e in enumerate(entries):
+            if e[0] == "node":
+                boxes.append((bmin[e[1]].copy(), bmax[e[1]].copy()))
+                d = max(d, fill(e[1], base + k))
+            else:
+                _, f, c, lo, hi = e
+                rows[base + k] = ("leaf", f, c)
+                boxes.append((lo, hi))
+                d = max(d, 1)
+        rows[rid] = ("inner", base, boxes)
         return 1 + d
 
     root = new_row()
@@ -463,10 +496,12 @@ def _traverse_wide(
         )
         t_best, tri_id, u, v, occ, lane_steps, _ = out
     else:
+        rescue = RESCUE_LANES
+
         def compacted_run(want, d0w, seedsw, max_steps):
             """Run one phase on the `want` lanes compacted to RESCUE_LANES
             (active-first argsort), scattered back into full-width seeds."""
-            perm = jnp.argsort(jnp.where(want, 0, 1))[:RESCUE_LANES]
+            perm = jnp.argsort(jnp.where(want, 0, 1))[:rescue]
             sub = lambda a: a[perm]
             outs = _run_phase(
                 rows, sub(ray_o), sub(ray_d), depth, any_hit,
@@ -509,7 +544,7 @@ def _traverse_wide(
 
         n_active = jnp.sum((d0 >= 0).astype(jnp.int32))
         t_best, tri_id, u, v, occ, lane_steps = jax.lax.cond(
-            n_active <= RESCUE_LANES, small_route, full_route, None
+            n_active <= rescue, small_route, full_route, None
         )
     if debug_steps:
         return t_best, tri_id, u, v, occ, lane_steps
