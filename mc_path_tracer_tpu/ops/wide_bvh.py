@@ -498,7 +498,7 @@ def _traverse_wide(
     else:
         rescue = RESCUE_LANES
 
-        def compacted_run(want, d0w, seedsw, max_steps):
+        def compacted_run(want, seedsw, max_steps):
             """Run one phase on the `want` lanes compacted to RESCUE_LANES
             (active-first argsort), scattered back into full-width seeds."""
             perm = jnp.argsort(jnp.where(want, 0, 1))[:rescue]
@@ -527,7 +527,7 @@ def _traverse_wide(
             # few active lanes (late bounces after RR, mixed sky blocks):
             # skip the full-width phase entirely — the whole traversal runs
             # compacted at RESCUE_LANES, 4x less gather bandwidth
-            merged, leftover = compacted_run(d0 >= 0, d0, seeds, full_steps)
+            merged, leftover = compacted_run(d0 >= 0, seeds, full_steps)
             return fallback(leftover, merged)
 
         def full_route(_):
@@ -536,10 +536,15 @@ def _traverse_wide(
                 rows, ray_o, ray_d, depth, any_hit, t_max, d0, seeds,
                 RESCUE_STEPS,
             )
-            # phase 2: compact the straggler tail, restart from the root
-            # (seeded with phase-1 t_best: the resolved subtree prunes
-            # instantly); phase 3: exact full-width fallback for overflow
-            merged, leftover = compacted_run(d1 >= 0, d1, tuple(p1), full_steps)
+            # phase 2 (x2 rounds): compact the straggler tail, restart from
+            # the root (seeded with phase-1 t_best: the resolved subtree
+            # prunes instantly).  Two rounds cover tails up to 2x the rescue
+            # width — horizon-grazing blocks leave ~half the batch
+            # unresolved at phase-1's budget, and one round would spill them
+            # into the expensive full-width fallback.  A no-op round costs
+            # one zero-iteration while.  Phase 3: exact full-width fallback.
+            merged, leftover = compacted_run(d1 >= 0, tuple(p1), full_steps)
+            merged, leftover = compacted_run(leftover, merged, full_steps)
             return fallback(leftover, merged)
 
         n_active = jnp.sum((d0 >= 0).astype(jnp.int32))
