@@ -163,9 +163,9 @@ def _shade_attrs(tris: TriangleSoA, tri_id, u, v, ray_o, ray_d, t, hit):
     uu, vv = u[..., None], v[..., None]
     if tris.attrs is not None:
         a = tris.attrs[tid]                    # one 16-wide row gather
-        n = normalize(uu * a[:, 3:6] + vv * a[:, 6:9] + w * a[:, 0:3])
-        uv = uu * a[:, 11:13] + vv * a[:, 13:15] + w * a[:, 9:11]
-        mat = jnp.where(hit, a[:, 15].astype(jnp.int32), 0)
+        n = normalize(uu * a[..., 3:6] + vv * a[..., 6:9] + w * a[..., 0:3])
+        uv = uu * a[..., 11:13] + vv * a[..., 13:15] + w * a[..., 9:11]
+        mat = jnp.where(hit, a[..., 15].astype(jnp.int32), 0)
         pos = ray_o + t[..., None] * ray_d
         return Hit(
             hit=hit,

@@ -255,7 +255,6 @@ def _run_phase(
     levels = depth + 1
     sel = jnp.asarray(_SEL)
     lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
-    lane16_w = jnp.where(lane < 16, 1 << jnp.minimum(lane, 15), 0)
     slot16 = jnp.arange(16, dtype=jnp.int32)[None, :]
 
     def one_step(d, bases, los, his, cnts, t_best, tri_id, u_best, v_best, occ):
@@ -383,9 +382,13 @@ def _run_phase(
             v_best = jnp.where(closer, jnp.sum(vv * onehot, axis=-1), v_best)
 
         # ---- trail update: advance the order at d; push children at d+1 ----
+        # Shifts must be LOGICAL: with >= 9 hit children the rank-7 nibble can
+        # set bit 31 of `lo`, and an arithmetic >> would sign-extend, turning
+        # the incoming nibble into 15 and corrupting the remaining trail
+        # (missed hits / light leaks on dense 16-wide nodes).
         d_next = jnp.where(push, d_after + 1, d_after)
-        lo_adv = (lo >> 4) | ((hi & 15) << 28)
-        hi_adv = hi >> 4
+        lo_adv = ((lo >> 4) & 0x0FFFFFFF) | ((hi & 15) << 28)
+        hi_adv = (hi >> 4) & 0x0FFFFFFF
         new_bases, new_los, new_his, new_cnts = [], [], [], []
         for l in range(levels):
             at_top = consume & (d == l)

@@ -15,7 +15,7 @@ __graft_entry__.dryrun_multichip and the scaling benchmarks.
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import NamedTuple
 
 import jax
@@ -35,6 +35,7 @@ def _pixel_grid(width: int, height: int):
     )
 
 
+@functools.lru_cache(maxsize=32)
 def _render_rows_fn(mesh, cfg, width, height, spp):
     """Jitted shard_map renderer for `mesh`: every device runs its own
     *local* render program over its pixel rows — local traversal while-loops,

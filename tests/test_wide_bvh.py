@@ -151,3 +151,46 @@ def test_wide_low_occupancy_route_matches():
         np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
     )
     assert not np.asarray(out.hit)[~mask].any()
+
+
+def test_wide_full_16_node_back_to_front():
+    """Regression (advisor round-1 high): a full 16-child inner node whose
+    near-to-far rank order is the reverse of slot order sets bit 31 of the
+    packed trail; arithmetic (sign-extending) shifts then corrupt the
+    remaining nibbles so children ranked >= 9 were never visited.
+
+    Hand-packed table: root inner node with 16 leaf children, slot k's AABB
+    at z in [16-k, 17-k] (slot 15 nearest -> rank r consumes slot 15-r; the
+    rank-7 child is slot 8, setting bit 31).  Only slot 3 (rank 12, visited
+    after the corruption point) holds a triangle on the ray; every other
+    leaf's triangle is far off-axis.  The buggy traversal misses it."""
+    rows = np.zeros((17, wide_bvh.N_COMP, wide_bvh.LANES), np.float32)
+    # root inner row: children base=1, count=16
+    for k in range(16):
+        rows[0, 0:3, k] = (-2.0, -2.0, 16.0 - k)
+        rows[0, 3:6, k] = (2.0, 2.0, 17.0 - k)
+    rows[0, wide_bvh._META_COMP, 0] = 0.0
+    rows[0, wide_bvh._META_COMP, 1] = 1.0
+    rows[0, wide_bvh._META_COMP, 2] = 16.0
+    # leaf rows: one triangle each (lane 0), facing -z (passes backface cull
+    # for a +z ray); only slot 3's triangle lies on the ray
+    for k in range(16):
+        x0 = -1.0 if k == 3 else 50.0
+        z = 16.0 - k + 0.25
+        rows[1 + k, 0:3, 0] = (x0, -1.0, z)   # v0
+        rows[1 + k, 3:6, 0] = (1.0, 2.0, 0.0)  # e1
+        rows[1 + k, 6:9, 0] = (2.0, 0.0, 0.0)  # e2
+        rows[1 + k, wide_bvh._META_COMP, 0] = 1.0
+        rows[1 + k, wide_bvh._META_COMP, 1] = float(k)  # tri id = slot
+        rows[1 + k, wide_bvh._META_COMP, 2] = 1.0
+    ro = jnp.array([[0.0, 0.0, 0.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]])
+    t, tri_id, u, v = wide_bvh._traverse_wide(
+        jnp.asarray(rows), ro, rd, depth=2, any_hit=False
+    )
+    assert int(tri_id[0]) == 3
+    np.testing.assert_allclose(float(t[0]), 13.25, rtol=1e-5)
+    occ = wide_bvh._traverse_wide(
+        jnp.asarray(rows), ro, rd, depth=2, any_hit=True
+    )
+    assert bool(occ[0])
