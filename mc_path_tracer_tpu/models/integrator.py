@@ -87,17 +87,63 @@ class RenderConfig:
 
     spp: int = DEFAULT_SPP
     max_depth: int = DEFAULT_MAX_DEPTH
-    accel: str = "wide"            # "wide" | "bvh" | "brute"
+    accel: str = "auto"            # "auto"|"pallas"|"dense"|"wide"|"bvh"|"brute"
     max_leaf: int = 4
     jitter: bool = False           # reference shoots pixel centers only
     reference_quirks: bool = False
     rr_start: int = RR_START
 
 
+def _on_tpu() -> bool:
+    """True when the default device runs compiled Pallas TPU kernels
+    (evaluated at trace time; tests pin the platform to cpu)."""
+    dev = jax.devices()[0]
+    return "tpu" in dev.platform.lower() or "TPU" in getattr(dev, "device_kind", "")
+
+
+# scenes at or below this triangle count skip the BVH entirely: the dense
+# Pallas intersector streams every triangle through VMEM faster than any
+# traversal overhead (reference wf_extend at small scale,
+# wavefront_kernels.cu:253-293)
+DENSE_ACCEL_MAX_TRIS = 2048
+
+
+def _resolve_accel(scene: SceneData, cfg: RenderConfig) -> str:
+    """Pick the traversal backend at trace time (static per compile).
+
+    auto: dense Pallas for tiny scenes on TPU, leaf-table Pallas kernel when
+    the scene fits VMEM on TPU, else the XLA wide table, else the threaded
+    binary BVH."""
+    a = cfg.accel
+    if a != "auto":
+        return a
+    if _on_tpu():
+        if scene.tris.num_triangles <= DENSE_ACCEL_MAX_TRIS:
+            return "dense"
+        if scene.leaf is not None:
+            return "pallas"
+    if scene.wide is not None:
+        return "wide"
+    return "bvh"
+
+
 def _intersect(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
-    if cfg.accel == "brute":
+    accel = _resolve_accel(scene, cfg)
+    if accel == "brute":
         return intersect_brute(scene.tris, ro, rd)
-    if cfg.accel == "wide" and scene.wide is not None:
+    if accel == "dense":
+        from mc_path_tracer_tpu.ops.pallas.intersect_kernel import (
+            intersect_dense_soa,
+        )
+
+        return intersect_dense_soa(scene.tris, ro, rd, interpret=not _on_tpu())
+    if accel == "pallas" and scene.leaf is not None:
+        from mc_path_tracer_tpu.ops.pallas.traversal_kernel import intersect_pallas
+
+        return intersect_pallas(
+            scene.leaf, scene.tris, ro, rd, mask=mask, interpret=not _on_tpu()
+        )
+    if accel in ("wide", "pallas") and scene.wide is not None:
         from mc_path_tracer_tpu.ops.wide_bvh import intersect_wide
 
         return intersect_wide(scene.wide, scene.tris, ro, rd, mask=mask)
@@ -105,9 +151,24 @@ def _intersect(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
 
 
 def _occluded(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None, t_max=None):
-    if cfg.accel == "brute":
+    accel = _resolve_accel(scene, cfg)
+    if accel == "brute":
         return occluded_brute(scene.tris, ro, rd, t_max=t_max)
-    if cfg.accel == "wide" and scene.wide is not None:
+    if accel == "dense":
+        from mc_path_tracer_tpu.ops.pallas.intersect_kernel import (
+            occluded_dense_soa,
+        )
+
+        return occluded_dense_soa(
+            scene.tris, ro, rd, mask=mask, t_max=t_max, interpret=not _on_tpu()
+        )
+    if accel == "pallas" and scene.leaf is not None:
+        from mc_path_tracer_tpu.ops.pallas.traversal_kernel import occluded_pallas
+
+        return occluded_pallas(
+            scene.leaf, ro, rd, mask=mask, t_max=t_max, interpret=not _on_tpu()
+        )
+    if accel in ("wide", "pallas") and scene.wide is not None:
         from mc_path_tracer_tpu.ops.wide_bvh import occluded_wide
 
         return occluded_wide(scene.wide, ro, rd, mask=mask, t_max=t_max)

@@ -44,7 +44,8 @@ class SceneData(NamedTuple):
     materials: MaterialTable
     lights: lights_mod.LightSet
     atlas: "object" = None  # TextureAtlas (set in build())
-    wide: "object" = None   # ops.wide_bvh.WideBVH — the TPU traversal table
+    wide: "object" = None   # ops.wide_bvh.WideBVH — the XLA traversal table
+    leaf: "object" = None   # ops.pallas.traversal_kernel.LeafTable (TPU kernel)
 
 
 def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
@@ -237,6 +238,7 @@ class Scene:
         tri_emission = emissive[np.asarray(tris.material_id)]
         emissive_mask = tri_emission.sum(axis=-1) > 0.0
         al = lights_mod.make_area_lights(tris, emissive_mask, tri_emission)
+        from mc_path_tracer_tpu.ops.pallas.traversal_kernel import build_leaf_table
         from mc_path_tracer_tpu.utils.texture import build_atlas
 
         return SceneData(
@@ -244,4 +246,5 @@ class Scene:
             lights=lights_mod.LightSet(env=self.env, directional=dl, area=al),
             atlas=build_atlas(self.textures),
             wide=wide,
+            leaf=build_leaf_table(wide),  # None when over the VMEM budget
         )

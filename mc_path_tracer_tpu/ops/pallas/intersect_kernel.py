@@ -179,3 +179,51 @@ def occluded_dense_pallas(
         interpret=interpret,
     )(ro, rd, tri_p)
     return occ[:r]
+
+
+# ---------------------------------------------------------------------------
+# SoA wrappers: the product-facing dense path (RenderConfig accel="dense",
+# auto-selected for scenes <= DENSE_ACCEL_MAX_TRIS on TPU)
+# ---------------------------------------------------------------------------
+
+
+def _tri_geo(tris) -> jnp.ndarray:
+    return jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)
+
+
+def intersect_dense_soa(tris, ray_o, ray_d, mask=None, interpret=False):
+    """Closest hit over all triangles, returning a shaded Hit record
+    (reference wf_extend at small scene scale, wavefront_kernels.cu:253-272).
+    """
+    from mc_path_tracer_tpu.ops.intersect import _shade_attrs
+    from mc_path_tracer_tpu.ops.math import K_HUGE
+
+    t, tid, u, v = intersect_dense_pallas(
+        _tri_geo(tris), ray_o, ray_d, interpret=interpret
+    )
+    hit = tid >= 0
+    if mask is not None:
+        hit = hit & mask
+        tid = jnp.where(mask, tid, -1)
+    return _shade_attrs(
+        tris, tid, u, v, ray_o, ray_d, jnp.where(hit, t, K_HUGE), hit
+    )
+
+
+def occluded_dense_soa(tris, ray_o, ray_d, mask=None, t_max=None,
+                       interpret=False):
+    """Any-hit over all triangles with optional per-ray t_max (reference
+    intersect_shadows semantics, Triangle.cu:204-248)."""
+    if t_max is None:
+        occ = occluded_dense_pallas(_tri_geo(tris), ray_o, ray_d,
+                                    interpret=interpret)
+    else:
+        # bounded shadow rays reuse the closest-hit kernel: occluded iff the
+        # nearest hit lies inside (0, t_max]
+        t, tid, _, _ = intersect_dense_pallas(
+            _tri_geo(tris), ray_o, ray_d, interpret=interpret
+        )
+        occ = (tid >= 0) & (t <= t_max)
+    if mask is not None:
+        occ = occ & mask
+    return occ

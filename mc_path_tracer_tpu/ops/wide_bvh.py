@@ -280,10 +280,16 @@ def _run_phase(
         row_idx = jnp.where(consume, b + k, 0)
         row = rows[row_idx]                       # [R, 10, 128] — THE gather
 
+        # HIGHEST precision is required: the TPU default lowers f32 dots to
+        # bf16 passes, which silently rounds stored integers > 256 (leaf
+        # base triangle indices / child row bases on real scenes) and sends
+        # the traversal to garbage rows.  CPU is unaffected, so only
+        # on-chip runs ever saw it.
         meta = jax.lax.dot_general(
             row[:, _META_COMP, :], sel,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                          # [R, 3] exact
         is_leaf = consume & (meta[:, 0] > 0.5)
         is_inner = consume & ~is_leaf

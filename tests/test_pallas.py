@@ -76,3 +76,162 @@ def test_dense_anyhit_matches_brute():
     )
     ref = occluded_brute(tris, ro, rd)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# Leaf-table traversal kernel (ops/pallas/traversal_kernel.py)
+# ---------------------------------------------------------------------------
+
+
+def _leaf_setup(n_tris=500, seed=7, max_leaf=4):
+    from mc_path_tracer_tpu.ops import bvh as bvh_mod
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import build_leaf_table
+    from tests.test_intersect import random_scene
+
+    tris = random_scene(n=n_tris, seed=seed)
+    _, wide, rtris = bvh_mod.build_accel(tris, max_leaf=max_leaf)
+    table = build_leaf_table(wide)
+    assert table is not None
+    return tris, wide, rtris, table
+
+
+def test_leaf_table_covers_all_triangles():
+    from mc_path_tracer_tpu.ops import wide_bvh
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=300, seed=11)
+    rows = np.asarray(table.rows)
+    covered = np.zeros(300, np.int32)
+    for r in rows:
+        f = int(r[wide_bvh._META_COMP, 1])
+        c = int(r[wide_bvh._META_COMP, 2])
+        covered[f : f + c] += 1
+    assert (covered == 1).all()
+    # AABBs contain their triangles
+    boxes = np.asarray(table.boxes_t)
+    for li, r in enumerate(rows):
+        c = int(r[wide_bvh._META_COMP, 2])
+        v0 = r[0:3, :c].T
+        p1 = v0 + r[3:6, :c].T
+        p2 = v0 + r[6:9, :c].T
+        pts = np.concatenate([v0, p1, p2], axis=0)
+        assert (pts >= boxes[0:3, li][None, :] - 1e-4).all()
+        assert (pts <= boxes[3:6, li][None, :] + 1e-4).all()
+
+
+def test_pallas_traversal_matches_brute():
+    from mc_path_tracer_tpu.ops.intersect import intersect_brute
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import intersect_pallas
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=500, seed=7)
+    ro, rd = random_rays(n=600, seed=8)  # exercises ray padding (600 % 512)
+    ref = intersect_brute(tris, ro, rd)
+    out = intersect_pallas(table, rtris, ro, rd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.position)[m], np.asarray(ref.position)[m], atol=1e-4
+    )
+
+
+def test_pallas_anyhit_matches_brute():
+    from mc_path_tracer_tpu.ops.intersect import occluded_brute
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import occluded_pallas
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=400, seed=9)
+    ro, rd = random_rays(n=512, seed=10)
+    ref = occluded_brute(tris, ro, rd)
+    out = occluded_pallas(table, ro, rd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_anyhit_t_max_and_mask():
+    from mc_path_tracer_tpu.ops.intersect import occluded_brute
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import occluded_pallas
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=300, seed=13)
+    ro, rd = random_rays(n=512, seed=14)
+    rng = np.random.default_rng(15)
+    t_max = jnp.asarray(rng.uniform(0.5, 4.0, size=512).astype(np.float32))
+    mask = jnp.asarray(rng.random(512) < 0.7)
+    ref = occluded_brute(tris, ro, rd, t_max=t_max) & mask
+    out = occluded_pallas(table, ro, rd, mask=mask, t_max=t_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_traversal_mask_skips_rays():
+    from mc_path_tracer_tpu.ops.intersect import intersect_brute
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import intersect_pallas
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=200, seed=17)
+    ro, rd = random_rays(n=512, seed=18)
+    mask = jnp.arange(512) % 2 == 0
+    out = intersect_pallas(table, rtris, ro, rd, mask=mask, interpret=True)
+    assert not np.asarray(out.hit)[1::2].any()
+    ref = intersect_brute(tris, ro, rd)
+    np.testing.assert_array_equal(
+        np.asarray(out.hit)[::2], np.asarray(ref.hit)[::2]
+    )
+
+
+def _small_render_scene():
+    from mc_path_tracer_tpu.models.primitives import plane, uv_sphere
+    from mc_path_tracer_tpu.models.scene import Scene
+
+    s = Scene()
+    s.set_environment_color((0.4, 0.5, 0.7), ls=1.0)
+    s.add_directional_light((0.3, 1.0, 0.2), color=(1.0, 0.9, 0.8), ls=2.0)
+    m0 = s.add_material(albedo=(0.8, 0.3, 0.2), roughness=0.4)
+    p, n, uv, idx = uv_sphere(0.8, center=(0, 0.8, 0), rings=8, segments=12)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m0)
+    m1 = s.add_material(albedo=(0.6, 0.6, 0.6), roughness=0.9)
+    p, n, uv, idx = plane(6.0)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m1)
+    return s
+
+
+def _small_camera():
+    from mc_path_tracer_tpu.models.camera import PerspectiveCamera
+
+    return PerspectiveCamera(
+        position=np.array([0.0, 1.2, 3.0]),
+        target=np.array([0.0, 0.6, 0.0]),
+        fov_deg=50.0,
+    )
+
+
+def test_integrator_pallas_accel_matches_wide():
+    """End-to-end radiance through the Pallas leaf-traversal route equals the
+    XLA wide route (same hits -> same estimator) on an 8x8 frame."""
+    from mc_path_tracer_tpu.models.integrator import RenderConfig, render
+
+    scene = _small_render_scene()
+    sd = scene.build()
+    assert sd.leaf is not None
+    cam = _small_camera()
+    img_p = render(sd, cam, 8, 8, RenderConfig(spp=2, max_depth=3, accel="pallas"))
+    img_w = render(sd, cam, 8, 8, RenderConfig(spp=2, max_depth=3, accel="wide"))
+    np.testing.assert_allclose(
+        np.asarray(img_p.ld), np.asarray(img_w.ld), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_integrator_dense_accel_matches_wide():
+    """The dense Pallas route (tiny scenes) is estimator-equivalent too."""
+    from mc_path_tracer_tpu.models.integrator import RenderConfig, render
+
+    scene = _small_render_scene()
+    sd = scene.build()
+    assert sd.tris.num_triangles <= 2048
+    cam = _small_camera()
+    img_d = render(sd, cam, 8, 8, RenderConfig(spp=2, max_depth=3, accel="dense"))
+    img_w = render(sd, cam, 8, 8, RenderConfig(spp=2, max_depth=3, accel="wide"))
+    np.testing.assert_allclose(
+        np.asarray(img_d.ld), np.asarray(img_w.ld), rtol=1e-4, atol=1e-5
+    )
