@@ -56,6 +56,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mc_path_tracer_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from mc_path_tracer_tpu.models.camera import PerspectiveCamera
     from mc_path_tracer_tpu.models.integrator import (
         PIXEL_CHUNK,
@@ -87,13 +91,22 @@ def main():
     # (models/integrator._render_full); throughput == steady-state block
     # rate.  Timing blocks directly keeps the benchmark robust to the
     # single-tile tunnel's sensitivity to very long multi-dispatch jobs.
+    from mc_path_tracer_tpu.models.film import tile_order
+
     n_blocks = (width * height + PIXEL_CHUNK - 1) // PIXEL_CHUNK
     key = jax.random.PRNGKey(0)
-    px0 = jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) % width
-    py0 = jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) // width
+    # pixels in 32x16 tile-major order, exactly as _render_full dispatches
+    # them (each 512-ray traversal block = one spatially tight tile)
+    pxi, pyi = tile_order(width, height)
+    pad = (-pxi.shape[0]) % PIXEL_CHUNK
+    pxi = np.concatenate([pxi, np.zeros(pad, pxi.dtype)]).astype(np.float32)
+    pyi = np.concatenate([pyi, np.zeros(pad, pyi.dtype)]).astype(np.float32)
 
     t0 = time.perf_counter()
-    acc = _render_block(scene_data, cam, px0, py0, key, cfg, width, height, spp)
+    acc = _render_block(
+        scene_data, cam, jnp.asarray(pxi[:PIXEL_CHUNK]),
+        jnp.asarray(pyi[:PIXEL_CHUNK]), key, cfg, width, height, spp,
+    )
     jax.block_until_ready(acc)
     log(f"compile+first block: {time.perf_counter()-t0:.1f}s")
 
@@ -106,8 +119,8 @@ def main():
     t0 = time.perf_counter()
     for i, c in enumerate(timed_blocks):
         kc = jax.random.fold_in(key, 1_000_000 + c)
-        px = (jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) + c * PIXEL_CHUNK) % width
-        py = (jnp.arange(PIXEL_CHUNK, dtype=jnp.float32) + c * PIXEL_CHUNK) // width
+        px = jnp.asarray(pxi[c * PIXEL_CHUNK : (c + 1) * PIXEL_CHUNK])
+        py = jnp.asarray(pyi[c * PIXEL_CHUNK : (c + 1) * PIXEL_CHUNK])
         acc = _render_block(scene_data, cam, px, py, kc, cfg, width, height, spp)
         jax.block_until_ready(acc)
         log(f"block {c}/{n_blocks} done {time.perf_counter()-t0:.2f}s")

@@ -54,6 +54,10 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     import jax
 
+    from mc_path_tracer_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from mc_path_tracer_tpu.models.camera import PerspectiveCamera
     from mc_path_tracer_tpu.models.engine import RenderEngine
     from mc_path_tracer_tpu.models.integrator import RenderConfig

@@ -72,3 +72,34 @@ def tile_grid(width: int, height: int, tile: int = DEFAULT_TILE):
     for y0 in range(0, height, tile):
         for x0 in range(0, width, tile):
             yield (x0, y0, min(tile, width - x0), min(tile, height - y0))
+
+
+# traversal-block tile shape: 32x16 = 512 pixels = exactly one Pallas
+# traversal ray block (ops/pallas/traversal_kernel.RAY_BLOCK), so every
+# kernel block sees a spatially tight frustum.  Measured on the bench scene:
+# 32x16 tiles visit ~5 leaves/block vs ~49 for 512-pixel row strips.
+TRAV_TILE_W = 32
+TRAV_TILE_H = 16
+
+
+def tile_order(width: int, height: int, tw: int = TRAV_TILE_W,
+               th: int = TRAV_TILE_H):
+    """Pixel enumeration in tile-major order (host numpy).
+
+    Returns (px, py) int32 arrays of length width*height enumerating every
+    pixel so that consecutive runs of tw*th pixels form one 2-D tile.
+    Edge tiles are clipped (blocks there mix two tiles — still coherent).
+    """
+    ty, tx = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+    xs, ys = [], []
+    for y0 in range(0, height, th):
+        for x0 in range(0, width, tw):
+            x = x0 + tx
+            y = y0 + ty
+            keep = (x < width) & (y < height)
+            xs.append(x[keep].ravel())
+            ys.append(y[keep].ravel())
+    return (
+        np.concatenate(xs).astype(np.int32),
+        np.concatenate(ys).astype(np.int32),
+    )

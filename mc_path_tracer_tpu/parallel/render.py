@@ -98,6 +98,49 @@ def render_sharded(
     return acc.reshape(height, width, 3)
 
 
+def _make_global(arr, sharding):
+    """Build a (possibly multi-process) global jax.Array from host-replicated
+    numpy data: every process holds the full array and contributes its
+    addressable shards (jax.device_put cannot target non-addressable
+    devices, so multi-host paths must assemble arrays this way)."""
+    import numpy as _np
+
+    a = _np.asarray(arr)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
+def render_sharded_global(
+    scene_data, camera, width, height, cfg=RenderConfig(), key=None, mesh=None
+):
+    """Multi-host render_sharded: identical math, but inputs are assembled
+    as global arrays so the mesh may span processes (DCN).  Each process
+    computes its addressable pixel rows; the returned global array's
+    addressable shards are this process's rows.
+
+    Works single-process too (then it is equivalent to render_sharded)."""
+    from mc_path_tracer_tpu.parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_dev = mesh.devices.size
+    if height % n_dev != 0:
+        raise ValueError(f"height {height} not divisible by mesh size {n_dev}")
+    cam = camera if isinstance(camera, camera_mod.CameraParams) else camera.params()
+
+    px, py = _pixel_grid(width, height)
+    shard = NamedSharding(mesh, P(TILE_AXIS))
+    repl = NamedSharding(mesh, P())
+    px = _make_global(px, shard)
+    py = _make_global(py, shard)
+    scene_r = jax.tree.map(lambda a: _make_global(a, repl), scene_data)
+    cam_r = jax.tree.map(lambda a: _make_global(a, repl), cam)
+    key_r = _make_global(key, repl)
+    fn = _render_rows_fn(mesh, cfg, width, height, cfg.spp)
+    return fn(scene_r, cam_r, px, py, key_r)
+
+
 class MaterialGrads(NamedTuple):
     """The differentiable (float) slice of MaterialTable — texture-id bindings
     are int32 and held constant by differentiation."""
