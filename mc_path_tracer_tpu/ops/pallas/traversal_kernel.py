@@ -168,12 +168,42 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
     nc_pad = -(-n_chunks // 8) * 8
 
     def kernel(rays_ref, rows_ref, base_ref, boxes_ref, out_ref,
-               tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm):
+               tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
+               g_mat, best_a, best_b, tblk_sm):
         b = rays_ref.shape[0]
         ox, oy, oz = rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3]
         dx, dy, dz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
         live = rays_ref[:, 6:7] > 0.5
         t_max = rays_ref[:, 7:8]
+
+        # defaults (also the all-dead fast path: phases run under
+        # pl.when(alive) and a block of compacted-dead rays costs nothing)
+        if any_hit:
+            best_a[:, :] = jnp.zeros((b, 1), jnp.float32)
+        else:
+            best_a[:, :] = jnp.full((b, 1), K_HUGE, jnp.float32)
+            best_b[:, :] = jnp.full((b, 1), -1.0, jnp.float32)
+        alive = jnp.max(rays_ref[:, 6:7]) > 0.5
+
+        @pl.when(alive)
+        def _phases():
+            _kernel_phases(
+                rays_ref, rows_ref, base_ref, boxes_ref,
+                tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
+                g_mat, best_a, best_b, tblk_sm,
+                ox, oy, oz, dx, dy, dz, live, t_max, b,
+            )
+
+        out_ref[:, 0:1] = best_a[:, :]
+        if not any_hit:
+            out_ref[:, 3:4] = jnp.where(
+                best_a[:, :] < K_HUGE, best_b[:, :], -1.0
+            )
+
+    def _kernel_phases(rays_ref, rows_ref, base_ref, boxes_ref,
+                       tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
+                       g_mat, best_a, best_b, tblk_sm,
+                       ox, oy, oz, dx, dy, dz, live, t_max, b):
         eps = 1e-12
         ix = jnp.reciprocal(jnp.where(jnp.abs(dx) > eps, dx,
                                       jnp.where(dx >= 0, eps, -eps)))
@@ -240,6 +270,118 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
 
         n = n_sm[0]
 
+        # ---- phase 2 setup: per-pair Moller-Trumbore as ONE MXU matmul per
+        # visit.  det, u*det, v*det and t*det are all LINEAR in the per-ray
+        # features F = [d, m, o', 1] (m = d x o', o' = o - c re-centred about
+        # the block origin centroid c for conditioning):
+        #     det     = d . n            n = e2 x e1
+        #     u*det   = d . (v0' x e2) - m . e2
+        #     v*det   = m . e1 - d . (v0' x e1)
+        #     t*det   = o' . w - v0' . w w  = e1 x e2
+        # so the [B, 128] pair matrix for one leaf is F[B, 16] @ G[16, 4*128]
+        # (coefficients per output block in the lane dim).  The MXU does in
+        # ~0.3 us what costs ~2 us of VPU element-wise math; only the
+        # compare/reduce epilogue stays on the VPU.  The winning lane's u, v
+        # are NOT extracted here — the host wrapper re-runs exact
+        # single-triangle MT on the winner (intersect_pallas), which keeps
+        # the kernel epilogue lean.  Semantics (cull det >= K_EPSILON,
+        # 0 <= u, 0 <= v, u + v <= 1, t >= 0) match Triangle.cu:19-40.
+        # conditioning centroid: LIVE rays only (dead lanes may carry
+        # o + K_HUGE*d miss positions ~1e32 which would wreck the mean),
+        # clamped to the scene bounds for rays that are live but far away
+        lv = live.astype(jnp.float32)
+        nl = jnp.maximum(jnp.sum(lv), 1.0)
+        lane_ok = lane < (n_leaves - (n_chunks - 1) * LANES)
+        sb_min = [jnp.float32(_FAR)] * 3
+        sb_max = [jnp.float32(-_FAR)] * 3
+        for c in range(n_chunks):
+            sl = slice(c * LANES, (c + 1) * LANES)
+            ok = lane_ok if c == n_chunks - 1 else (lane >= 0)
+            for ax in range(3):
+                sb_min[ax] = jnp.minimum(
+                    sb_min[ax],
+                    jnp.min(jnp.where(ok, boxes_ref[ax:ax + 1, sl], _FAR)),
+                )
+                sb_max[ax] = jnp.maximum(
+                    sb_max[ax],
+                    jnp.max(
+                        jnp.where(ok, boxes_ref[3 + ax:4 + ax, sl], -_FAR)
+                    ),
+                )
+        cx = jnp.clip(jnp.sum(ox * lv) / nl, sb_min[0], sb_max[0])
+        cy = jnp.clip(jnp.sum(oy * lv) / nl, sb_min[1], sb_max[1])
+        cz = jnp.clip(jnp.sum(oz * lv) / nl, sb_min[2], sb_max[2])
+        pox, poy, poz = ox - cx, oy - cy, oz - cz
+        mx = dy * poz - dz * poy
+        my = dz * pox - dx * poz
+        mz = dx * poy - dy * pox
+        ones = jnp.ones((b, 1), jnp.float32)
+        feats = jnp.concatenate(
+            [dx, dy, dz, mx, my, mz, pox, poy, poz, ones,
+             jnp.zeros((b, 6), jnp.float32)],
+            axis=1,
+        )
+        g_mat[:, :] = jnp.zeros((16, 4 * LANES), jnp.float32)
+        tblk_sm[0] = K_HUGE
+
+        def _load_g(l):
+            """Assemble G[16, 512] for leaf l from its resident row."""
+            row = rows_ref[l]
+            v0x, v0y, v0z = row[0:1] - cx, row[1:2] - cy, row[2:3] - cz
+            e1x, e1y, e1z = row[3:4], row[4:5], row[5:6]
+            e2x, e2y, e2z = row[6:7], row[7:8], row[8:9]
+            wx = e1y * e2z - e1z * e2y
+            wy = e1z * e2x - e1x * e2z
+            wz = e1x * e2y - e1y * e2x
+            ax = v0y * e2z - v0z * e2y
+            ay = v0z * e2x - v0x * e2z
+            az = v0x * e2y - v0y * e2x
+            bx = v0y * e1z - v0z * e1y
+            by = v0z * e1x - v0x * e1z
+            bz = v0x * e1y - v0y * e1x
+            c0 = v0x * wx + v0y * wy + v0z * wz
+            # det block (lanes 0:128): k = d -> n = -w
+            g_mat[0:1, 0:LANES] = -wx
+            g_mat[1:2, 0:LANES] = -wy
+            g_mat[2:3, 0:LANES] = -wz
+            # u*det block: k = d -> v0' x e2 ; k = m -> -e2
+            g_mat[0:1, LANES:2 * LANES] = ax
+            g_mat[1:2, LANES:2 * LANES] = ay
+            g_mat[2:3, LANES:2 * LANES] = az
+            g_mat[3:4, LANES:2 * LANES] = -e2x
+            g_mat[4:5, LANES:2 * LANES] = -e2y
+            g_mat[5:6, LANES:2 * LANES] = -e2z
+            # v*det block: k = d -> -(v0' x e1) ; k = m -> e1
+            g_mat[0:1, 2 * LANES:3 * LANES] = -bx
+            g_mat[1:2, 2 * LANES:3 * LANES] = -by
+            g_mat[2:3, 2 * LANES:3 * LANES] = -bz
+            g_mat[3:4, 2 * LANES:3 * LANES] = e1x
+            g_mat[4:5, 2 * LANES:3 * LANES] = e1y
+            g_mat[5:6, 2 * LANES:3 * LANES] = e1z
+            # t*det block: k = o' -> w ; k = 1 -> -(v0' . w)
+            g_mat[6:7, 3 * LANES:4 * LANES] = wx
+            g_mat[7:8, 3 * LANES:4 * LANES] = wy
+            g_mat[8:9, 3 * LANES:4 * LANES] = wz
+            g_mat[9:10, 3 * LANES:4 * LANES] = -c0
+
+        def _pairs():
+            p = jax.lax.dot_general(
+                feats, g_mat[:, :],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            det = p[:, 0:LANES]
+            up = p[:, LANES:2 * LANES]
+            vp = p[:, 2 * LANES:3 * LANES]
+            tp = p[:, 3 * LANES:4 * LANES]
+            valid = (
+                (det >= K_EPSILON)
+                & (up >= 0.0) & (vp >= 0.0) & (up + vp <= det)
+                & (tp >= 0.0) & live
+            )
+            return det, tp, valid
+
         if not any_hit:
             # ---- phase 1b: suffix-min of entry distances (break oracle)
             suff_sm[n] = _FAR
@@ -252,86 +394,65 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
 
             jax.lax.fori_loop(0, n, back, jnp.float32(_FAR))
 
-            # ---- phase 2: closest hit over the worklist
-            def cond(carry):
-                i, stop = carry[0], carry[1]
-                return (i < n) & jnp.logical_not(stop)
-
-            def visit(args):
-                i, t_best, u_b, v_b, id_b, _ = args
-                l = list_sm[i]
-                row = rows_ref[l]
-                valid, tt, uu, vv = _mt_leaf(row, ox, oy, oz, dx, dy, dz)
-                valid = valid & live & (tt < t_best)
-                tmask = jnp.where(valid, tt, K_HUGE)
-                tb = jnp.min(tmask, axis=1, keepdims=True)
-                is_min = (tmask <= tb) & (tmask < K_HUGE)
-                first = jnp.min(
-                    jnp.where(is_min, lane, LANES), axis=1, keepdims=True
-                )
-                onehot = (lane == first).astype(jnp.float32)
-                closer = tb < t_best
-                t_best = jnp.where(closer, tb, t_best)
-                id_b = jnp.where(
-                    closer, base_ref[l, 0] + first.astype(jnp.float32), id_b
-                )
-                u_b = jnp.where(
-                    closer, jnp.sum(uu * onehot, axis=1, keepdims=True), u_b
-                )
-                v_b = jnp.where(
-                    closer, jnp.sum(vv * onehot, axis=1, keepdims=True), v_b
-                )
-                t_blk = jnp.max(jnp.where(live, t_best, -1.0))
-                return i, t_best, u_b, v_b, id_b, t_blk
-
+            # ---- phase 2: closest hit over the worklist (best t / id kept
+            # in VMEM scratch, only scalars flow through the while carry)
             def body(carry):
-                i, _, t_best, u_b, v_b, id_b, t_blk = carry
-                args = (i, t_best, u_b, v_b, id_b, t_blk)
-                do = tn_sm[i] <= t_blk
-                _, t_best, u_b, v_b, id_b, t_blk = jax.lax.cond(
-                    do, visit, lambda a: a, args
-                )
-                stop = suff_sm[i + 1] > t_blk
-                return i + 1, stop, t_best, u_b, v_b, id_b, t_blk
+                i, _ = carry
 
-            init = (
-                jnp.int32(0),
-                n == 0,
-                jnp.full((b, 1), K_HUGE, jnp.float32),
-                jnp.zeros((b, 1), jnp.float32),
-                jnp.zeros((b, 1), jnp.float32),
-                jnp.zeros((b, 1), jnp.float32),
-                jnp.max(jnp.where(live, K_HUGE, -1.0)),
+                @pl.when(tn_sm[i] <= tblk_sm[0])
+                def _visit():
+                    l = list_sm[i]
+                    _load_g(l)
+                    det, tp, valid = _pairs()
+                    t_best = best_a[:, :]
+                    rcp = jnp.reciprocal(
+                        jnp.where(det >= K_EPSILON, det, 1.0)
+                    )
+                    tt = tp * rcp
+                    tmask = jnp.where(valid & (tt < t_best), tt, K_HUGE)
+                    tb = jnp.min(tmask, axis=1, keepdims=True)
+                    is_min = (tmask <= tb) & (tmask < K_HUGE)
+                    first = jnp.min(
+                        jnp.where(is_min, lane, LANES), axis=1, keepdims=True
+                    )
+                    closer = tb < t_best
+                    best_a[:, :] = jnp.where(closer, tb, t_best)
+                    best_b[:, :] = jnp.where(
+                        closer,
+                        base_ref[l, 0] + first.astype(jnp.float32),
+                        best_b[:, :],
+                    )
+                    tblk_sm[0] = jnp.max(
+                        jnp.where(live, best_a[:, :], -1.0)
+                    )
+
+                stop = suff_sm[i + 1] > tblk_sm[0]
+                return i + 1, stop
+
+            jax.lax.while_loop(
+                lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                body, (jnp.int32(0), n == 0),
             )
-            out = jax.lax.while_loop(cond, body, init)
-            _, _, t_best, u_b, v_b, id_b = out[:6]
-            out_ref[:, 0:1] = t_best
-            out_ref[:, 1:2] = u_b
-            out_ref[:, 2:3] = v_b
-            out_ref[:, 3:4] = jnp.where(t_best < K_HUGE, id_b, -1.0)
         else:
-            # ---- phase 2: any hit over the worklist (occ carried as f32:
-            # Mosaic cannot yield padded i1 vectors through a while loop)
-            def cond(carry):
-                i, stop = carry[0], carry[1]
-                return (i < n) & jnp.logical_not(stop)
-
+            # ---- phase 2: any hit over the worklist (early exit when every
+            # live ray is occluded; occlusion kept in VMEM scratch)
             def body(carry):
-                i, _, occ = carry
+                i, _ = carry
                 l = list_sm[i]
-                row = rows_ref[l]
-                valid, tt, _, _ = _mt_leaf(row, ox, oy, oz, dx, dy, dz)
+                _load_g(l)
+                det, tp, valid = _pairs()
+                valid = valid & (tp <= t_max * det)
                 hit_here = jnp.max(
-                    jnp.where(valid & live & (tt <= t_max), 1.0, 0.0),
-                    axis=1, keepdims=True,
+                    jnp.where(valid, 1.0, 0.0), axis=1, keepdims=True
                 )
-                occ = jnp.maximum(occ, hit_here)
-                stop = jnp.min(jnp.where(live, occ, 1.0)) >= 0.5
-                return i + 1, stop, occ
+                best_a[:, :] = jnp.maximum(best_a[:, :], hit_here)
+                stop = jnp.min(jnp.where(live, best_a[:, :], 1.0)) >= 0.5
+                return i + 1, stop
 
-            init = (jnp.int32(0), n == 0, jnp.zeros((b, 1), jnp.float32))
-            _, _, occ = jax.lax.while_loop(cond, body, init)
-            out_ref[:, 0:1] = occ
+            jax.lax.while_loop(
+                lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                body, (jnp.int32(0), n == 0),
+            )
 
     return kernel
 
@@ -382,6 +503,10 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret):
             pltpu.SMEM((l_pad + 8,), jnp.int32),     # worklist
             pltpu.SMEM((l_pad + 8,), jnp.float32),   # entry distances
             pltpu.SMEM((l_pad + 8,), jnp.float32),   # suffix minima
+            pltpu.VMEM((16, 4 * LANES), jnp.float32),   # G coefficients
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),    # best t / occ
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),    # best tri id
+            pltpu.SMEM((1,), jnp.float32),              # block max-best t
         ],
         interpret=interpret,
     )(packed, table.rows, table.base, table.boxes_t)
@@ -389,7 +514,28 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret):
         return out[:r, 0] > 0.5
     t = out[:r, 0]
     tri_id = out[:r, 3].astype(jnp.int32)
-    return t, tri_id, out[:r, 1], out[:r, 2]
+    return t, tri_id
+
+
+def _winner_uvt(tris: TriangleSoA, tri_id, ray_o, ray_d):
+    """Exact per-ray Moller-Trumbore on the winning triangle only.
+
+    The kernel reports (t, tri_id); u, v (and a numerically exact t) for
+    the single winner come from one [R]-wide gather + MT here — cheaper
+    and more precise than extracting them from the matmul pair matrix."""
+    idx = jnp.maximum(tri_id, 0)
+    v0 = tris.v0[idx]
+    e1 = tris.e1[idx]
+    e2 = tris.e2[idx]
+    p = jnp.cross(ray_d, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv_det = jnp.reciprocal(jnp.where(jnp.abs(det) > 1e-30, det, 1.0))
+    tv = ray_o - v0
+    u = jnp.sum(tv * p, axis=-1) * inv_det
+    q = jnp.cross(tv, e1)
+    v = jnp.sum(ray_d * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    return u, v, t
 
 
 def intersect_pallas(
@@ -401,13 +547,11 @@ def intersect_pallas(
     interpret: bool = False,
 ) -> Hit:
     """Closest-hit traversal (reference intersect(), Triangle.cu:144-200)."""
-    t, tri_id, u, v = _traverse(
-        table, ray_o, ray_d, False, mask, None, interpret
-    )
+    t, tri_id = _traverse(table, ray_o, ray_d, False, mask, None, interpret)
     hit = tri_id >= 0
-    return _shade_attrs(
-        tris, tri_id, u, v, ray_o, ray_d, jnp.where(hit, t, K_HUGE), hit
-    )
+    u, v, t_exact = _winner_uvt(tris, tri_id, ray_o, ray_d)
+    t = jnp.where(hit, t_exact, K_HUGE)
+    return _shade_attrs(tris, tri_id, u, v, ray_o, ray_d, t, hit)
 
 
 def occluded_pallas(
