@@ -308,9 +308,15 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
                         jnp.where(ok, boxes_ref[3 + ax:4 + ax, sl], -_FAR)
                     ),
                 )
-        cx = jnp.clip(jnp.sum(ox * lv) / nl, sb_min[0], sb_max[0])
-        cy = jnp.clip(jnp.sum(oy * lv) / nl, sb_min[1], sb_max[1])
-        cz = jnp.clip(jnp.sum(oz * lv) / nl, sb_min[2], sb_max[2])
+        # mask with where (NOT ox * lv): a NaN/inf origin in a DEAD lane
+        # would survive multiply-by-zero (NaN*0 = NaN) and poison the
+        # centroid, silently missing the whole block
+        cx = jnp.clip(jnp.sum(jnp.where(live, ox, 0.0)) / nl,
+                      sb_min[0], sb_max[0])
+        cy = jnp.clip(jnp.sum(jnp.where(live, oy, 0.0)) / nl,
+                      sb_min[1], sb_max[1])
+        cz = jnp.clip(jnp.sum(jnp.where(live, oz, 0.0)) / nl,
+                      sb_min[2], sb_max[2])
         pox, poy, poz = ox - cx, oy - cy, oz - cz
         mx = dy * poz - dz * poy
         my = dz * pox - dx * poz
@@ -550,6 +556,12 @@ def intersect_pallas(
     t, tri_id = _traverse(table, ray_o, ray_d, False, mask, None, interpret)
     hit = tri_id >= 0
     u, v, t_exact = _winner_uvt(tris, tri_id, ray_o, ray_d)
+    # Sanitize miss/masked lanes: dead-lane origins can be ~1e32 (o +
+    # K_HUGE*d), where MT on dummy triangle 0 overflows u/v to +/-inf and
+    # _shade_attrs would emit NaN normals/uvs that poison next-bounce ray
+    # origins.  Misses must stay finite (u = v = 0, t = K_HUGE).
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
     t = jnp.where(hit, t_exact, K_HUGE)
     return _shade_attrs(tris, tri_id, u, v, ray_o, ray_d, t, hit)
 

@@ -137,6 +137,35 @@ def test_pallas_traversal_matches_brute():
     )
 
 
+def test_pallas_shading_attrs_and_miss_finiteness():
+    """The winner's normal/uv agree with brute force on hit lanes, and EVERY
+    Hit field is finite on miss/masked lanes (dead-lane origins ~1e32 made
+    _winner_uvt overflow u/v to inf and _shade_attrs emit NaN normals that
+    poisoned next-bounce ray origins — advisor r2 high finding)."""
+    from mc_path_tracer_tpu.ops.intersect import intersect_brute
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import intersect_pallas
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=400, seed=21)
+    ro, rd = random_rays(n=512, seed=22)
+    # half the lanes are masked AND carry typical dead-lane miss positions
+    mask = jnp.arange(512) % 2 == 0
+    big = 1e32
+    ro = jnp.where(mask[:, None], ro, ro + big * rd)
+    out = intersect_pallas(table, rtris, ro, rd, mask=mask, interpret=True)
+    ref = intersect_brute(tris, ro, rd)
+    m = np.asarray(out.hit)
+    np.testing.assert_allclose(
+        np.asarray(out.normal)[m], np.asarray(ref.normal)[m], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.uv)[m], np.asarray(ref.uv)[m], atol=1e-4
+    )
+    for name in ("t", "position", "normal", "uv"):
+        field = np.asarray(getattr(out, name))
+        assert np.isfinite(field).all(), f"non-finite {name} on miss lanes"
+
+
 def test_pallas_anyhit_matches_brute():
     from mc_path_tracer_tpu.ops.intersect import occluded_brute
     from mc_path_tracer_tpu.ops.pallas.traversal_kernel import occluded_pallas
