@@ -100,7 +100,9 @@ def main(argv=None):
     )
     film.ld.block_until_ready()
     dt = time.time() - t0
-    view = "heatmap" if (args.mode == "debug" or args.view == "heatmap") else "color"
+    # debug mode now renders its own single-bounce visualizer (with its own
+    # heat map on miss pixels); --view heatmap stays available for PT output
+    view = "heatmap" if args.view == "heatmap" else "color"
     film.save_png(args.out, exposure=args.exposure, view=view)
     if args.out_hdr:
         np.save(args.out_hdr, np.asarray(film.radiance_mean()))

@@ -17,12 +17,12 @@ import jax
 
 from mc_path_tracer_tpu.models.film import Film, make_film
 from mc_path_tracer_tpu.models.integrator import RenderConfig, render as pt_render
-from mc_path_tracer_tpu.models.preview import render_preview
+from mc_path_tracer_tpu.models.preview import render_debug, render_preview
 
 MODE_RASTERIZER = "rasterizer"     # RenderWindow menu: "OpenGL Rasterizer"
 MODE_PATH_TRACER = "path_tracer"   # "MC Path Tracer"
-MODE_DEBUG = "debug"               # "Debug PT" (heat-map visualizer)
-MODE_WIREFRAME = "wireframe"       # "Wireframe" -> normal-view preview
+MODE_DEBUG = "debug"               # "Debug PT": single-bounce visualizer
+MODE_WIREFRAME = "wireframe"       # "Wireframe": barycentric-edge wireframe
 
 
 class RenderEngine:
@@ -41,8 +41,10 @@ class RenderEngine:
         if mode == MODE_RASTERIZER:
             return render_preview(scene, camera, width, height, "shaded")
         if mode == MODE_WIREFRAME:
-            return render_preview(scene, camera, width, height, "normal")
-        if mode in (MODE_PATH_TRACER, MODE_DEBUG):
+            return render_preview(scene, camera, width, height, "wireframe")
+        if mode == MODE_DEBUG:
+            return render_debug(scene, camera, width, height)
+        if mode == MODE_PATH_TRACER:
             return pt_render(scene, camera, width, height, cfg, key=key)
         raise ValueError(f"unknown render mode {mode!r}")
 

@@ -230,8 +230,14 @@ def trace_radiance(
     for bounce in range(1, cfg.max_depth):
         u = rng.pixel_uniforms(jax.random.fold_in(key, bounce), pid, 10)
         u = sg(u)
-        pos, n = isect.position, isect.normal
+        pos = isect.position
         mat = scene.materials.gather(isect.material_id, isect.uv, scene.atlas)
+        # tangent-space normal mapping (dMaterial.cu get_normal:84-115; a
+        # no-op compile when the scene has no textures)
+        n = scene.materials.perturb_normal(
+            isect.material_id, isect.uv, scene.atlas,
+            isect.normal, isect.tangent, isect.bitangent,
+        )
 
         # ---- light selection (logic:209-212) ----
         l_id = jnp.minimum((u[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)

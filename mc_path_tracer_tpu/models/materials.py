@@ -41,6 +41,8 @@ class MaterialTable(NamedTuple):
     albedo_tex: jnp.ndarray    # [M] int32
     mr_tex: jnp.ndarray        # [M] int32
     emissive_tex: jnp.ndarray  # [M] int32
+    normal_tex: jnp.ndarray    # [M] int32 tangent-space normal map
+    ao_tex: jnp.ndarray        # [M] int32 ambient occlusion (R channel)
 
     @property
     def num_materials(self) -> int:
@@ -90,10 +92,48 @@ class MaterialTable(NamedTuple):
             e = e * sample_atlas(atlas, self.emissive_tex[material_id], uv)
         return e
 
+    def perturb_normal(
+        self, material_id, uv, atlas, n, tangent, bitangent
+    ) -> jnp.ndarray:
+        """Shading normal with the tangent-space normal map applied
+        (dMaterial.cu get_normal:84-115 — present in the reference but
+        disabled by the factor-return quirk; wired for real here).
+
+        The fetched texel (linear, [0,1]) maps to a tangent-space vector
+        2c-1; output = normalize(T*x + B*y + N*z).  Untextured materials
+        (normal_tex < 0) return n unchanged (sample_atlas yields the
+        neutral texel)."""
+        if atlas is None or atlas.count == 0:
+            return n
+        from mc_path_tracer_tpu.utils.texture import sample_atlas
+
+        tid = self.normal_tex[material_id]
+        c = sample_atlas(atlas, tid, uv)          # [R, 3], 1.0 where tid < 0
+        v = 2.0 * c - 1.0
+        perturbed = (
+            tangent * v[..., 0:1] + bitangent * v[..., 1:2] + n * v[..., 2:3]
+        )
+        norm = jnp.sqrt(
+            jnp.maximum(jnp.sum(perturbed * perturbed, axis=-1, keepdims=True),
+                        1e-20)
+        )
+        return jnp.where((tid >= 0)[..., None], perturbed / norm, n)
+
+    def ambient_occlusion(self, material_id, uv=None, atlas=None) -> jnp.ndarray:
+        """AO factor (R channel of the occlusion texture; 1 untextured) —
+        consumed by the preview's ambient term, like the rasterizer's
+        metallic-rough-AO G-buffer attachment."""
+        if uv is None or atlas is None or atlas.count == 0:
+            return jnp.ones(jnp.shape(material_id), jnp.float32)
+        from mc_path_tracer_tpu.utils.texture import sample_atlas
+
+        return sample_atlas(atlas, self.ao_tex[material_id], uv)[..., 0]
+
 
 def make_material_table(
     albedo, roughness, metallic, fresnel=None, emissive=None,
     albedo_tex=None, mr_tex=None, emissive_tex=None,
+    normal_tex=None, ao_tex=None,
 ) -> MaterialTable:
     # assembled in numpy (host) — scene building must not run eager device ops
     albedo_np = np.atleast_2d(np.asarray(albedo, np.float32))
@@ -124,6 +164,8 @@ def make_material_table(
         jnp.asarray(tex_ids(albedo_tex)),
         jnp.asarray(tex_ids(mr_tex)),
         jnp.asarray(tex_ids(emissive_tex)),
+        jnp.asarray(tex_ids(normal_tex)),
+        jnp.asarray(tex_ids(ao_tex)),
     )
 
 

@@ -2,17 +2,27 @@
 
 The reference pairs its path tracer with an OpenGL deferred-PBR rasterizer
 used as an interactive preview (Rasterizer.{h,cpp}: G-buffer geometry pass ->
-PBR lighting pass + IBL -> background; debug views of each G-buffer
-attachment, Rasterizer.cpp:93-124).  A TPU framework has no GL pipeline —
-the TPU-native equivalent is a single-bounce deterministic ray cast over the
-same scene arrays: one primary closest-hit per pixel plus an analytic
-direct-light + ambient shade.  It serves the same product role (fast preview
-sharing the scene with the path tracer) at interactive cost: exactly one
-traversal per pixel, no sampling noise.
+PBR lighting pass + IBL irradiance/prefilter + shadow maps -> background;
+debug views of each G-buffer attachment, Rasterizer.cpp:93-124, 152-341).  A
+TPU framework has no GL pipeline — the TPU-native equivalent is a
+single-bounce deterministic ray cast over the same scene arrays:
+
+  - IBL ambient: a real cosine (irradiance) convolution of the environment
+    map evaluated per shading normal as ONE relu-matmul pair over a
+    downsampled env grid (the reference bakes an irradiance cubemap,
+    EnvironmentLight.cu:184-264 + irradiance_convolution.fs; here the MXU
+    evaluates the same integral directly).
+  - shadows: one-tap any-hit shadow ray per directional light (the
+    reference's cascaded shadow maps, Rasterizer.cpp:226-341).
+  - wireframe + grid overlay (Overlay.cpp:18-120): barycentric edge
+    distance on hit pixels, a perspective ground grid on miss pixels.
+  - debug visualizer (wavefront_kernels.cu:444-554 debug_raytracer): a true
+    single-bounce view — direct light with one shadow tap on hits, the env
+    importance-sampling pdf as a heat map on misses.
 
 Output types mirror the G-buffer debug menu (RenderWindow render-mode /
 Rasterizer debug views): "shaded", "position", "normal", "albedo",
-"metallic_roughness", "emissive", "depth".
+"metallic_roughness", "emissive", "depth", "wireframe".
 """
 
 from __future__ import annotations
@@ -27,8 +37,8 @@ from mc_path_tracer_tpu.models import lights as lights_mod
 from mc_path_tracer_tpu.models.film import Film
 from mc_path_tracer_tpu.models.scene import SceneData
 from mc_path_tracer_tpu.ops import brdf, envmap
-from mc_path_tracer_tpu.ops.intersect import intersect_bvh
-from mc_path_tracer_tpu.ops.wide_bvh import intersect_wide
+from mc_path_tracer_tpu.ops.intersect import winner_uvt
+from mc_path_tracer_tpu.ops.math import PI
 
 PREVIEW_MODES = (
     "shaded",
@@ -38,31 +48,77 @@ PREVIEW_MODES = (
     "metallic_roughness",
     "emissive",
     "depth",
+    "wireframe",
 )
 
+# irradiance convolution source resolution: 16x32 equirect (512 texels) is
+# what the reference's 32x32-per-face irradiance cubemap resolves
+_IRR_H, _IRR_W = 16, 32
 
-def _ambient_irradiance(lights: lights_mod.LightSet) -> jnp.ndarray:
-    """Flat ambient standing in for the rasterizer's IBL irradiance cubemap
-    (EnvironmentLight.cu irradiance convolution): the cosine-hemisphere
-    integral of a constant-radiance env is pi * L_avg; we use the env's mean
-    radiance as L_avg."""
-    if lights_mod.env_is_hdri(lights.env):
-        return jnp.mean(lights.env.tex, axis=(0, 1))
-    return lights.env.color * lights.env.ls
+
+def _env_basis(h: int, w: int):
+    """Directions + solid-angle weights of an h x w equirect texel grid."""
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    uv = jnp.stack(jnp.meshgrid(u, v, indexing="xy"), axis=-1)  # [h, w, 2]
+    dirs = envmap.equirect_dir(uv.reshape(-1, 2))               # [T, 3]
+    sin_t = jnp.sin(PI * uv[..., 1]).reshape(-1)
+    d_omega = sin_t * (PI / h) * (2.0 * PI / w)                 # [T]
+    return dirs, d_omega
+
+
+def _irradiance(env: lights_mod.EnvLight, n: jnp.ndarray) -> jnp.ndarray:
+    """Diffuse IBL term E(n)/pi per shading normal.
+
+    E(n) = sum_t L_t max(0, n . w_t) dOmega_t over a downsampled env grid —
+    two MXU matmuls: relu(N @ D^T) [R, T] @ (L_t * dOmega_t) [T, 3].  For a
+    constant-radiance env this reduces to L * albedo, the flat-ambient
+    behavior, but directional env content now shades correctly
+    (EnvironmentLight.cu irradiance convolution equivalent)."""
+    if not lights_mod.env_is_hdri(env):
+        return jnp.broadcast_to(env.color * env.ls, n.shape)
+    tex = jax.image.resize(env.tex, (_IRR_H, _IRR_W, 3), "linear")
+    dirs, d_omega = _env_basis(_IRR_H, _IRR_W)
+    cos = jnp.maximum(n @ dirs.T, 0.0)                      # [R, T]
+    e = cos @ (tex.reshape(-1, 3) * d_omega[:, None])       # [R, 3]
+    return e / PI
+
+
+def _ground_grid(ro, rd, hit_mask):
+    """Perspective ground-plane grid for miss pixels (Overlay.cpp grid
+    overlay): anti-aliased unit grid lines on y=0, faded with distance."""
+    t = -ro[..., 1] / jnp.where(jnp.abs(rd[..., 1]) > 1e-6, rd[..., 1], 1e-6)
+    ok = (t > 0.0) & ~hit_mask
+    p = ro + t[..., None] * rd
+    # distance to nearest integer grid line, in grid units, smoothed by the
+    # ray-footprint (~t-proportional) for cheap anti-aliasing
+    fx = jnp.abs(p[..., 0] - jnp.round(p[..., 0]))
+    fz = jnp.abs(p[..., 2] - jnp.round(p[..., 2]))
+    width = jnp.clip(0.01 * jnp.maximum(t, 1.0), 0.01, 0.5)
+    line = jnp.maximum(
+        jnp.clip(1.0 - fx / width, 0.0, 1.0),
+        jnp.clip(1.0 - fz / width, 0.0, 1.0),
+    )
+    fade = jnp.exp(-0.02 * jnp.maximum(t, 0.0))
+    return jnp.where(ok, line * fade * 0.6, 0.0)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "mode"))
 def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
+    from mc_path_tracer_tpu.models.integrator import (
+        RenderConfig,
+        _intersect,
+        _occluded,
+    )
+
+    cfg = RenderConfig()
     ys, xs = jnp.mgrid[0:height, 0:width]
     px = xs.reshape(-1).astype(jnp.float32)
     py = ys.reshape(-1).astype(jnp.float32)
     ro, rd = camera_mod.gen_camera_rays(
         cam, width, height, px, py, jnp.zeros((px.shape[0], 2))
     )
-    if scene.wide is not None:
-        hit = intersect_wide(scene.wide, scene.tris, ro, rd)
-    else:
-        hit = intersect_bvh(scene.bvh, scene.tris, ro, rd)
+    hit = _intersect(scene, cfg, ro, rd)
     mat = scene.materials.gather(hit.material_id, hit.uv, scene.atlas)
     hmask = hit.hit[..., None]
 
@@ -83,20 +139,43 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
         d = jnp.where(hit.hit, hit.t, 0.0)
         dmax = jnp.maximum(jnp.max(d), 1e-6)
         out = jnp.broadcast_to((d / dmax)[..., None], d.shape + (3,))
+    elif mode == "wireframe":
+        # barycentric edge distance (Overlay.cpp wireframe pass): recover
+        # (u, v) of the winner, line where min(u, v, 1-u-v) ~ 0
+        u, v, _ = winner_uvt(scene.tris, hit.tri_id, ro, rd)
+        u = jnp.where(hit.hit, u, 0.0)
+        v = jnp.where(hit.hit, v, 0.0)
+        edge = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        aa = 0.03
+        line = jnp.clip(1.0 - edge / aa, 0.0, 1.0)
+        base = jnp.where(hmask, 0.12 + 0.25 * jnp.abs(hit.normal), 0.0)
+        wire = jnp.array([0.9, 0.9, 0.95], jnp.float32)
+        out = jnp.where(hmask, base + line[..., None] * wire, 0.0)
+        grid = _ground_grid(ro, rd, hit.hit)
+        out = out + grid[..., None] * jnp.array([0.5, 0.5, 0.55], jnp.float32)
     else:  # shaded
         wo = -rd
-        n = hit.normal
+        n = scene.materials.perturb_normal(
+            hit.material_id, hit.uv, scene.atlas,
+            hit.normal, hit.tangent, hit.bitangent,
+        )
         lights = scene.lights
         direct = jnp.zeros_like(ro)
         nd = lights.directional.direction.shape[0]
+        shadow_o = hit.position + n * 0.01
         for i in range(nd):  # lightingPass 32-light loop equivalent
             wl = jnp.broadcast_to(lights.directional.direction[i], n.shape)
             li = lights.directional.color[i] * lights.directional.ls[i]
             f = brdf.mixture_f(mat, n, wl, wo)
-            direct = direct + f * li
-        ambient = _ambient_irradiance(lights) * mat.albedo * (
+            # one-tap shadow (the rasterizer's shadow-map lookup,
+            # Rasterizer.cpp:226-341)
+            vis = ~_occluded(scene, cfg, shadow_o, wl, mask=hit.hit)
+            direct = direct + jnp.where(vis[..., None], f * li, 0.0)
+        ao = scene.materials.ambient_occlusion(hit.material_id, hit.uv,
+                                               scene.atlas)
+        ambient = _irradiance(lights.env, n) * mat.albedo * (
             1.0 - mat.metallic[..., None]
-        )
+        ) * ao[..., None]
         bg = (
             envmap.radiance(lights.env.tex, rd)
             if lights_mod.env_is_hdri(lights.env)
@@ -105,6 +184,60 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
         emissive = scene.materials.emission(hit.material_id, hit.uv, scene.atlas)
         out = jnp.where(hmask, direct + ambient + emissive, bg)
 
+    return out.reshape(height, width, 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _debug(scene: SceneData, cam, width: int, height: int):
+    """Single-bounce debug visualizer (debug_raytracer,
+    wavefront_kernels.cu:444-554): hits show one-sample direct lighting with
+    a shadow tap; misses show the env importance-sampling pdf as a heat map
+    (the reference's env-pdf validation experiments)."""
+    from mc_path_tracer_tpu.models.integrator import (
+        RenderConfig,
+        _intersect,
+        _occluded,
+    )
+
+    cfg = RenderConfig()
+    ys, xs = jnp.mgrid[0:height, 0:width]
+    px = xs.reshape(-1).astype(jnp.float32)
+    py = ys.reshape(-1).astype(jnp.float32)
+    ro, rd = camera_mod.gen_camera_rays(
+        cam, width, height, px, py, jnp.zeros((px.shape[0], 2))
+    )
+    hit = _intersect(scene, cfg, ro, rd)
+    mat = scene.materials.gather(hit.material_id, hit.uv, scene.atlas)
+    lights = lights_mod.with_packed(scene.lights)
+    n_l = lights_mod.num_lights(lights)
+
+    # deterministic light sample per pixel (pixel-keyed stream, sample 0)
+    from mc_path_tracer_tpu.ops import rng as rng_mod
+
+    pid = (py * width + px).astype(jnp.int32)
+    u = rng_mod.pixel_uniforms(jax.random.PRNGKey(0), pid, 3)
+    l_id = jnp.minimum((u[:, 0] * n_l).astype(jnp.int32), n_l - 1)
+    wl = lights_mod.sample_dir(lights, l_id, u[:, 1:3])
+    li = lights_mod.radiance(lights, l_id, wl)
+    pdf_l = lights_mod.pdf(lights, l_id, wl)
+    f = brdf.mixture_f(mat, hit.normal, wl, -rd)
+    vis = ~_occluded(scene, cfg, hit.position + hit.normal * 0.01, wl,
+                     mask=hit.hit)
+    ld = jnp.where(
+        (vis & (pdf_l > 0))[..., None],
+        f * li * float(n_l) / jnp.maximum(pdf_l, 1e-20)[..., None],
+        0.0,
+    )
+
+    # miss pixels: env pdf heat map (blue -> red), normalized to the
+    # uniform-sphere pdf so 1/4pi reads as mid-scale
+    env_pdf = lights_mod.pdf(lights, jnp.zeros_like(l_id), rd)
+    rel = jnp.log1p(env_pdf * 4.0 * PI) / jnp.log(jnp.float32(16.0))
+    h01 = jnp.clip(rel, 0.0, 1.0)
+    heat = jnp.stack(
+        [h01, 0.25 * jnp.sin(PI * h01) + 0.1 * h01, 1.0 - h01], axis=-1
+    )
+    out = jnp.where(hit.hit[..., None], ld, heat)
     return out.reshape(height, width, 3)
 
 
@@ -119,4 +252,15 @@ def render_preview(
 
     cam = _camera_params(camera, width, height)
     img = _preview(scene_data, cam, width, height, mode)
+    return Film(ld=img, samples=jnp.ones((height, width), jnp.float32))
+
+
+def render_debug(scene, camera, width: int, height: int) -> Film:
+    """Debug PT mode (RenderWindow menu "Debug PT"): the cheap single-bounce
+    visualizer, NOT the full path tracer."""
+    scene_data = scene.build() if hasattr(scene, "build") else scene
+    from mc_path_tracer_tpu.models.integrator import _camera_params
+
+    cam = _camera_params(camera, width, height)
+    img = _debug(scene_data, cam, width, height)
     return Film(ld=img, samples=jnp.ones((height, width), jnp.float32))

@@ -48,14 +48,21 @@ class SceneData(NamedTuple):
     leaf: "object" = None   # ops.pallas.traversal_kernel.LeafTable (TPU kernel)
 
 
-def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
+def _mesh_to_soa(
+    positions, normals, uvs, indices, material_id, tangents=None
+) -> TriangleSoA:
     """Build a *numpy-backed* TriangleSoA.  Scene assembly stays on the host
     (no eager device ops — on the axon backend each would remote-compile);
     arrays move to the device once, at the end of Scene.build()."""
+    from mc_path_tracer_tpu.utils.gltf import compute_tangents
+
     p = np.asarray(positions, np.float32)
     n = np.asarray(normals, np.float32)
     uv = np.asarray(uvs, np.float32)
     idx = np.asarray(indices, np.int64)
+    if tangents is None:
+        tangents = compute_tangents(p, n, uv, idx)
+    tan = np.asarray(tangents, np.float32)
     v0, v1, v2 = p[idx[:, 0]], p[idx[:, 1]], p[idx[:, 2]]
     e1, e2 = v1 - v0, v2 - v0
     fn = np.cross(e1, e2)
@@ -68,12 +75,15 @@ def _mesh_to_soa(positions, normals, uvs, indices, material_id) -> TriangleSoA:
         uv0=uv[idx[:, 0]], uv1=uv[idx[:, 1]], uv2=uv[idx[:, 2]],
         material_id=mat,
         face_normal=fn.astype(np.float32),
+        tan0=tan[idx[:, 0]], tan1=tan[idx[:, 1]], tan2=tan[idx[:, 2]],
     )
 
 
 def concat_soa(parts: list[TriangleSoA]) -> TriangleSoA:
     # attrs (the packed shading rows) is built by the BVH reorder, not here
-    fields = TriangleSoA._fields[: TriangleSoA._fields.index("attrs")]
+    fields = [f for f in TriangleSoA._fields if f != "attrs"]
+    if any(getattr(p, "tan0", None) is None for p in parts):
+        fields = [f for f in fields if not f.startswith("tan")]
     return TriangleSoA(
         **{
             f: np.concatenate([np.asarray(getattr(p, f)) for p in parts], axis=0)
@@ -95,6 +105,8 @@ class Scene:
     material_albedo_tex: list = dataclass_field(default_factory=list)
     material_mr_tex: list = dataclass_field(default_factory=list)
     material_emissive_tex: list = dataclass_field(default_factory=list)
+    material_normal_tex: list = dataclass_field(default_factory=list)
+    material_ao_tex: list = dataclass_field(default_factory=list)
     textures: list = dataclass_field(default_factory=list)
     env: lights_mod.EnvLight = dataclass_field(
         default_factory=lights_mod.make_env_color
@@ -119,7 +131,7 @@ class Scene:
     def add_material(
         self, albedo=(1, 1, 1), roughness=1.0, metallic=0.0,
         emissive=(0, 0, 0), fresnel=(0.04, 0.04, 0.04),
-        albedo_tex=-1, mr_tex=-1, emissive_tex=-1,
+        albedo_tex=-1, mr_tex=-1, emissive_tex=-1, normal_tex=-1, ao_tex=-1,
     ) -> int:
         self.material_albedo.append(np.asarray(albedo, np.float32)[:3])
         self.material_roughness.append(float(roughness))
@@ -129,10 +141,13 @@ class Scene:
         self.material_albedo_tex.append(int(albedo_tex))
         self.material_mr_tex.append(int(mr_tex))
         self.material_emissive_tex.append(int(emissive_tex))
+        self.material_normal_tex.append(int(normal_tex))
+        self.material_ao_tex.append(int(ao_tex))
         self.notify()
         return len(self.material_albedo) - 1
 
-    def add_mesh(self, positions, indices, normals=None, uvs=None, material_id=0):
+    def add_mesh(self, positions, indices, normals=None, uvs=None,
+                 material_id=0, tangents=None):
         positions = np.asarray(positions, np.float32)
         indices = np.asarray(indices)
         if normals is None:
@@ -141,7 +156,10 @@ class Scene:
             normals = _smooth_normals(positions, np.asarray(indices, np.int64))
         if uvs is None:
             uvs = np.zeros((positions.shape[0], 2), np.float32)
-        self.meshes.append(_mesh_to_soa(positions, normals, uvs, indices, material_id))
+        self.meshes.append(
+            _mesh_to_soa(positions, normals, uvs, indices, material_id,
+                         tangents=tangents)
+        )
         self.notify()
 
     def load(self, path: str, reference_material_quirk: bool = False):
@@ -165,12 +183,14 @@ class Scene:
                 albedo_tex=shift(m.base_color_tex),
                 mr_tex=shift(m.metallic_roughness_tex),
                 emissive_tex=shift(m.emissive_tex),
+                normal_tex=shift(m.normal_tex),
+                ao_tex=shift(m.ao_tex),
             )
         for mesh in data.meshes:
             self.meshes.append(
                 _mesh_to_soa(
                     mesh.positions, mesh.normals, mesh.uvs, mesh.indices,
-                    base + mesh.material,
+                    base + mesh.material, tangents=mesh.tangents,
                 )
             )
         self.notify()
@@ -223,6 +243,8 @@ class Scene:
             albedo_tex=np.asarray(self.material_albedo_tex, np.int32),
             mr_tex=np.asarray(self.material_mr_tex, np.int32),
             emissive_tex=np.asarray(self.material_emissive_tex, np.int32),
+            normal_tex=np.asarray(self.material_normal_tex, np.int32),
+            ao_tex=np.asarray(self.material_ao_tex, np.int32),
         )
         if self.directional:
             dl = lights_mod.make_directional(

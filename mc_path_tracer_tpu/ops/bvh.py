@@ -64,22 +64,28 @@ def _numpy_build(bmin, bmax, max_leaf):
     return out_bmin, out_bmax, first, count, skip, np.array(ordered, np.int32)
 
 
-def _pack_attrs(n0, n1, n2, uv0, uv1, uv2, material_id) -> np.ndarray:
+def _pack_attrs(n0, n1, n2, uv0, uv1, uv2, material_id,
+                tan0=None, tan1=None, tan2=None) -> np.ndarray:
     """Per-triangle shading attributes in one gatherable row [T, 16]
-    (n0 n1 n2 | uv0 uv1 uv2 | material_id) — row gathers cost the same for
-    any width, so one 16-wide gather replaces seven narrow ones."""
-    return np.concatenate(
-        [
-            np.asarray(n0, np.float32),
-            np.asarray(n1, np.float32),
-            np.asarray(n2, np.float32),
-            np.asarray(uv0, np.float32),
-            np.asarray(uv1, np.float32),
-            np.asarray(uv2, np.float32),
-            np.asarray(material_id, np.float32)[:, None],
-        ],
-        axis=1,
-    )
+    (n0 n1 n2 | uv0 uv1 uv2 | material_id), extended to [T, 28] with
+    per-vertex xyzw tangents when present — row gathers cost the same for
+    any width, so one wide gather replaces many narrow ones."""
+    cols = [
+        np.asarray(n0, np.float32),
+        np.asarray(n1, np.float32),
+        np.asarray(n2, np.float32),
+        np.asarray(uv0, np.float32),
+        np.asarray(uv1, np.float32),
+        np.asarray(uv2, np.float32),
+        np.asarray(material_id, np.float32)[:, None],
+    ]
+    if tan0 is not None:
+        cols += [
+            np.asarray(tan0, np.float32),
+            np.asarray(tan1, np.float32),
+            np.asarray(tan2, np.float32),
+        ]
+    return np.concatenate(cols, axis=1)
 
 
 def _build_binary(tris: TriangleSoA, max_leaf: int, method: int):
@@ -94,16 +100,17 @@ def _build_binary(tris: TriangleSoA, max_leaf: int, method: int):
         result = _numpy_build(bmin, bmax, max_leaf)
     nb_min, nb_max, first, count, skip, order = result
 
-    cols = {
-        name: np.asarray(getattr(tris, name))[order]
-        for name in (
-            "v0", "e1", "e2", "n0", "n1", "n2",
-            "uv0", "uv1", "uv2", "material_id", "face_normal",
-        )
-    }
+    names = [
+        "v0", "e1", "e2", "n0", "n1", "n2",
+        "uv0", "uv1", "uv2", "material_id", "face_normal",
+    ]
+    if tris.tan0 is not None:
+        names += ["tan0", "tan1", "tan2"]
+    cols = {name: np.asarray(getattr(tris, name))[order] for name in names}
     attrs = _pack_attrs(
         cols["n0"], cols["n1"], cols["n2"],
         cols["uv0"], cols["uv1"], cols["uv2"], cols["material_id"],
+        cols.get("tan0"), cols.get("tan1"), cols.get("tan2"),
     )
     new_tris = TriangleSoA(
         **{k: jnp.asarray(v) for k, v in cols.items()},

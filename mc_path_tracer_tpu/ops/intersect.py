@@ -36,7 +36,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE, normalize
+from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE, build_onb, normalize
 
 
 class TriangleSoA(NamedTuple):
@@ -54,11 +54,18 @@ class TriangleSoA(NamedTuple):
     uv2: jnp.ndarray         # [T, 2]
     material_id: jnp.ndarray  # [T] int32
     face_normal: jnp.ndarray  # [T, 3]
-    # packed shading-attribute rows [T, 16] (n0 n1 n2 uv0 uv1 uv2 mat):
+    # packed shading-attribute rows [T, 16] (n0 n1 n2 uv0 uv1 uv2 mat) or
+    # [T, 28] when per-vertex tangents exist (+ tan0 tan1 tan2 as xyzw):
     # row gathers cost the same at any width on TPU, so hit shading reads
-    # one 16-wide row instead of seven narrow gathers.  Built by the BVH
+    # one wide row instead of many narrow gathers.  Built by the BVH
     # reorder (ops/bvh._build_binary); None before that.
     attrs: jnp.ndarray | None = None
+    # per-vertex tangents [T, 4] (xyz world tangent + w handedness, the
+    # reference's dVertex tangent/bitangent carriers, Triangle.h:11-23 /
+    # Vertex.h); None when the mesh pipeline did not compute them
+    tan0: jnp.ndarray | None = None
+    tan1: jnp.ndarray | None = None
+    tan2: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -112,7 +119,9 @@ def pack_bvh(bmin, bmax, first, count, skip) -> BVHArrays:
 
 
 class Hit(NamedTuple):
-    """Vectorized intersection record (reference Isect, Isect.cuh:4-16)."""
+    """Vectorized intersection record (reference Isect, Isect.cuh:4-16:
+    position, normal, tangent, bitangent, texcoord, t, was_found, tri_id,
+    material)."""
 
     hit: jnp.ndarray          # [R] bool
     t: jnp.ndarray            # [R]
@@ -121,6 +130,8 @@ class Hit(NamedTuple):
     normal: jnp.ndarray       # [R, 3] interpolated shading normal
     uv: jnp.ndarray           # [R, 2] texture coords
     material_id: jnp.ndarray  # [R] int32
+    tangent: jnp.ndarray      # [R, 3] shading tangent (orthonormal to normal)
+    bitangent: jnp.ndarray    # [R, 3] n x t * handedness
 
 
 def moller_trumbore(
@@ -155,6 +166,40 @@ def moller_trumbore(
     return valid, t, u, v
 
 
+def winner_uvt(tris: TriangleSoA, tri_id, ray_o, ray_d):
+    """Exact per-ray Moller-Trumbore on one known triangle (the traversal
+    winner): a single [R]-wide row gather + MT.  Used by the Pallas wrapper
+    to recover numerically exact (u, v, t) and by the preview wireframe to
+    recover barycentrics.  Caller must sanitize miss lanes (tri_id < 0)."""
+    idx = jnp.maximum(tri_id, 0)
+    v0 = tris.v0[idx]
+    e1 = tris.e1[idx]
+    e2 = tris.e2[idx]
+    p = jnp.cross(ray_d, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv_det = jnp.reciprocal(jnp.where(jnp.abs(det) > 1e-30, det, 1.0))
+    tv = ray_o - v0
+    u = jnp.sum(tv * p, axis=-1) * inv_det
+    q = jnp.cross(tv, e1)
+    v = jnp.sum(ray_d * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    return u, v, t
+
+
+def _tangent_frame(n, tan4):
+    """Orthonormal shading frame from an interpolated xyzw tangent (the
+    reference interpolates tangent/bitangent per hit, Triangle.cu:66-93):
+    Gram-Schmidt the tangent against the shading normal, bitangent =
+    (n x t) * w (glTF handedness)."""
+    t_raw = tan4[..., 0:3]
+    t_ortho = t_raw - n * jnp.sum(n * t_raw, axis=-1, keepdims=True)
+    bad = jnp.sum(t_ortho * t_ortho, axis=-1, keepdims=True) < 1e-12
+    t_fb, _ = build_onb(n)
+    t_vec = normalize(jnp.where(bad, t_fb, t_ortho))
+    b_vec = jnp.cross(n, t_vec) * tan4[..., 3:4]
+    return t_vec, b_vec
+
+
 def _shade_attrs(tris: TriangleSoA, tri_id, u, v, ray_o, ray_d, t, hit):
     """Interpolate hit attributes with the reference's barycentric convention
     u*a1 + v*a2 + (1-u-v)*a0 (Triangle.cu:76-79)."""
@@ -162,24 +207,26 @@ def _shade_attrs(tris: TriangleSoA, tri_id, u, v, ray_o, ray_d, t, hit):
     w = (1.0 - u - v)[..., None]
     uu, vv = u[..., None], v[..., None]
     if tris.attrs is not None:
-        a = tris.attrs[tid]                    # one 16-wide row gather
+        a = tris.attrs[tid]                    # one wide row gather
         n = normalize(uu * a[..., 3:6] + vv * a[..., 6:9] + w * a[..., 0:3])
         uv = uu * a[..., 11:13] + vv * a[..., 13:15] + w * a[..., 9:11]
         mat = jnp.where(hit, a[..., 15].astype(jnp.int32), 0)
-        pos = ray_o + t[..., None] * ray_d
-        return Hit(
-            hit=hit,
-            t=t,
-            tri_id=jnp.where(hit, tri_id, -1),
-            position=pos,
-            normal=n,
-            uv=uv,
-            material_id=mat,
-        )
-    n = normalize(uu * tris.n1[tid] + vv * tris.n2[tid] + w * tris.n0[tid])
-    uv = uu * tris.uv1[tid] + vv * tris.uv2[tid] + w * tris.uv0[tid]
+        if a.shape[-1] >= 28:
+            tan4 = uu * a[..., 20:24] + vv * a[..., 24:28] + w * a[..., 16:20]
+            t_vec, b_vec = _tangent_frame(n, tan4)
+        else:
+            t_vec, b_vec = build_onb(n)
+    else:
+        n = normalize(uu * tris.n1[tid] + vv * tris.n2[tid] + w * tris.n0[tid])
+        uv = uu * tris.uv1[tid] + vv * tris.uv2[tid] + w * tris.uv0[tid]
+        mat = jnp.where(hit, tris.material_id[tid], 0)
+        if tris.tan0 is not None:
+            tan4 = (uu * tris.tan1[tid] + vv * tris.tan2[tid]
+                    + w * tris.tan0[tid])
+            t_vec, b_vec = _tangent_frame(n, tan4)
+        else:
+            t_vec, b_vec = build_onb(n)
     pos = ray_o + t[..., None] * ray_d
-    mat = jnp.where(hit, tris.material_id[tid], 0)
     return Hit(
         hit=hit,
         t=t,
@@ -188,6 +235,8 @@ def _shade_attrs(tris: TriangleSoA, tri_id, u, v, ray_o, ray_d, t, hit):
         normal=n,
         uv=uv,
         material_id=mat,
+        tangent=t_vec,
+        bitangent=b_vec,
     )
 
 

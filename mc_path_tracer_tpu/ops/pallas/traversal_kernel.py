@@ -48,7 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mc_path_tracer_tpu.ops.intersect import Hit, TriangleSoA, _shade_attrs
+from mc_path_tracer_tpu.ops.intersect import (
+    Hit,
+    TriangleSoA,
+    _shade_attrs,
+    winner_uvt as _winner_uvt,
+)
 from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE
 from mc_path_tracer_tpu.ops.wide_bvh import LANES, N_COMP, _META_COMP, WideBVH
 
@@ -523,25 +528,9 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret):
     return t, tri_id
 
 
-def _winner_uvt(tris: TriangleSoA, tri_id, ray_o, ray_d):
-    """Exact per-ray Moller-Trumbore on the winning triangle only.
-
-    The kernel reports (t, tri_id); u, v (and a numerically exact t) for
-    the single winner come from one [R]-wide gather + MT here — cheaper
-    and more precise than extracting them from the matmul pair matrix."""
-    idx = jnp.maximum(tri_id, 0)
-    v0 = tris.v0[idx]
-    e1 = tris.e1[idx]
-    e2 = tris.e2[idx]
-    p = jnp.cross(ray_d, e2)
-    det = jnp.sum(e1 * p, axis=-1)
-    inv_det = jnp.reciprocal(jnp.where(jnp.abs(det) > 1e-30, det, 1.0))
-    tv = ray_o - v0
-    u = jnp.sum(tv * p, axis=-1) * inv_det
-    q = jnp.cross(tv, e1)
-    v = jnp.sum(ray_d * q, axis=-1) * inv_det
-    t = jnp.sum(e2 * q, axis=-1) * inv_det
-    return u, v, t
+# (_winner_uvt imported from ops.intersect: exact (u, v, t) for the winning
+# triangle — one [R]-wide gather + MT, cheaper and more precise than
+# extracting them from the matmul pair matrix)
 
 
 def intersect_pallas(

@@ -50,6 +50,7 @@ class MeshData:
     indices: np.ndarray    # [F, 3] uint32
     material: int          # index into GLTFScene.materials
     name: str = ""
+    tangents: np.ndarray | None = None  # [V, 4] f32 world xyz + handedness w
 
 
 @dataclass
@@ -62,6 +63,8 @@ class MaterialData:
     base_color_tex: int = -1                 # indices into GLTFScene.textures
     metallic_roughness_tex: int = -1
     emissive_tex: int = -1
+    normal_tex: int = -1                     # tangent-space normal map
+    ao_tex: int = -1                         # ambient-occlusion map
 
 
 @dataclass
@@ -149,6 +152,53 @@ def _smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return n / np.maximum(norm, 1e-12)
 
 
+def compute_tangents(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    indices: np.ndarray,
+) -> np.ndarray:
+    """Per-vertex xyzw tangents from uv gradients
+    (aiProcess_CalcTangentSpace equivalent; the reference requests it at
+    Scene.cu:28 so every dVertex carries tangent/bitangent).
+
+    Accumulates the uv-gradient face tangent per vertex, Gram-Schmidts
+    against the vertex normal, handedness w = sign(dot(cross(n, t), b)).
+    Faces with degenerate uvs fall back to an arbitrary frame; fully
+    uv-less meshes get a deterministic normal-aligned ONB downstream
+    (_tangent_frame rejects near-zero projected tangents)."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    w0 = uvs[indices[:, 0]]
+    w1 = uvs[indices[:, 1]]
+    w2 = uvs[indices[:, 2]]
+    e1, e2 = v1 - v0, v2 - v0
+    du1, dv1 = w1[:, 0] - w0[:, 0], w1[:, 1] - w0[:, 1]
+    du2, dv2 = w2[:, 0] - w0[:, 0], w2[:, 1] - w0[:, 1]
+    det = du1 * dv2 - du2 * dv1
+    ok = np.abs(det) > 1e-12
+    r = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+    t_face = (e1 * dv2[:, None] - e2 * dv1[:, None]) * r
+    b_face = (e2 * du1[:, None] - e1 * du2[:, None]) * r
+    t_acc = np.zeros_like(positions)
+    b_acc = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(t_acc, indices[:, k], t_face)
+        np.add.at(b_acc, indices[:, k], b_face)
+    # Gram-Schmidt vs the vertex normal
+    t_ortho = t_acc - normals * np.sum(normals * t_acc, axis=-1, keepdims=True)
+    tl = np.linalg.norm(t_ortho, axis=-1, keepdims=True)
+    t_unit = t_ortho / np.maximum(tl, 1e-20)
+    hand = np.sign(
+        np.sum(np.cross(normals, t_unit) * b_acc, axis=-1, keepdims=True)
+    )
+    hand = np.where(hand == 0.0, 1.0, hand)
+    # zero-length accumulations (uv-less) stay zero: downstream falls back
+    t_unit = np.where(tl > 1e-12, t_unit, 0.0)
+    return np.concatenate([t_unit, hand], axis=1).astype(np.float32)
+
+
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
     return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
 
@@ -220,6 +270,12 @@ def load_gltf(path: str, reference_material_quirk: bool = False,
                 emissive_tex=texture_id(
                     mat.get("emissiveTexture", {}).get("index"), srgb=True
                 ),
+                normal_tex=texture_id(
+                    mat.get("normalTexture", {}).get("index"), srgb=False
+                ),
+                ao_tex=texture_id(
+                    mat.get("occlusionTexture", {}).get("index"), srgb=False
+                ),
             )
         )
     if not out.materials:
@@ -269,6 +325,24 @@ def load_gltf(path: str, reference_material_quirk: bool = False,
                     uv[:, 1] = 1.0 - uv[:, 1]  # aiProcess_FlipUVs
                 else:
                     uv = np.zeros((len(pos), 2), np.float32)
+                if "TANGENT" in attrs:
+                    # glTF TANGENT is vec4 (xyz + handedness w); xyz baked
+                    # to world by the node matrix (aiProcess_CalcTangentSpace
+                    # + the Scene.cu world bake)
+                    tan = _accessor(gltf, binary, attrs["TANGENT"]).astype(
+                        np.float32
+                    )
+                    txyz = (acc[:3, :3] @ tan[:, :3].T).T
+                    tl = np.linalg.norm(txyz, axis=-1, keepdims=True)
+                    txyz = txyz / np.maximum(tl, 1e-12)
+                    tan_w = np.concatenate(
+                        [txyz, tan[:, 3:4]], axis=1
+                    ).astype(np.float32)
+                else:
+                    tan_w = compute_tangents(
+                        pos_w.astype(np.float32), nrm_w.astype(np.float32),
+                        uv, idx.astype(np.int64),
+                    )
                 out.meshes.append(
                     MeshData(
                         positions=pos_w.astype(np.float32),
@@ -277,6 +351,7 @@ def load_gltf(path: str, reference_material_quirk: bool = False,
                         indices=idx,
                         material=int(prim.get("material", 0)),
                         name=mesh.get("name", node.get("name", "")),
+                        tangents=tan_w,
                     )
                 )
         for child in node.get("children", []):

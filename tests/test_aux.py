@@ -63,6 +63,60 @@ def test_engine_modes():
     assert np.asarray(f1.ld).shape == np.asarray(f2.ld).shape
 
 
+def test_engine_debug_and_wireframe_are_distinct_modes():
+    """MODE_DEBUG is the single-bounce visualizer and MODE_WIREFRAME the
+    barycentric wireframe — neither aliases another mode (VERDICT r2 #10)."""
+    from mc_path_tracer_tpu.models.engine import MODE_DEBUG, MODE_WIREFRAME
+
+    e = RenderEngine()
+    s = scene()
+    dbg = np.asarray(e.render(s, CAM, 24, 18, MODE_DEBUG).ld)
+    wf = np.asarray(e.render(s, CAM, 24, 18, MODE_WIREFRAME).ld)
+    nrm = np.asarray(render_preview(s, CAM, 24, 18, "normal").ld)
+    shd = np.asarray(render_preview(s, CAM, 24, 18, "shaded").ld)
+    assert np.isfinite(dbg).all() and np.isfinite(wf).all()
+    assert not np.allclose(wf, nrm)     # wireframe != normal view
+    assert not np.allclose(dbg, shd)    # debug != shaded preview
+    # debug shows the env-pdf heat map on sky pixels: nonuniform sky
+    assert dbg.std() > 0
+
+
+def test_preview_shadow_darkens_occluded_floor():
+    """The one-tap directional shadow darkens floor points under the sphere
+    relative to open floor (the rasterizer's shadow maps equivalent)."""
+    s = Scene()
+    s.set_environment_color((0.0, 0.0, 0.0), ls=0.0)
+    floor = s.add_material(albedo=(0.7, 0.7, 0.7), roughness=0.9)
+    p, n, uv, idx = plane(30.0)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=floor)
+    m = s.add_material(albedo=(0.8, 0.2, 0.2), roughness=0.5)
+    p, n, uv, idx = uv_sphere(0.8, center=(0, 1.2, 0), rings=10, segments=16)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+    s.add_directional_light((0.0, 1.0, 0.0), ls=3.0)  # straight down sun
+    cam = PerspectiveCamera(position=np.array([0.0, 4.0, 5.0]),
+                            target=np.array([0.0, 0.0, 0.0]))
+    img = np.asarray(render_preview(s, cam, 48, 36, "shaded").ld)
+    lum = img.sum(-1)
+    # darkest floor pixel in the column under the sphere vs open floor
+    c = lum[14:24, 22:26].min()
+    o = lum[30, 4]
+    assert c < 0.25 * o, (c, o)
+
+
+def test_preview_irradiance_directional_env():
+    """A sky bright only at +Y must light up-facing normals more than
+    down-facing ones (the flat env *mean* could not; VERDICT r2 gap #4)."""
+    from mc_path_tracer_tpu.models import lights as lights_mod
+    from mc_path_tracer_tpu.models.preview import _irradiance
+
+    tex = np.zeros((16, 32, 3), np.float32)
+    tex[:4, :, :] = 5.0  # bright top rows (+Y in equirect)
+    env = lights_mod.make_env_hdri(tex)
+    n = jnp.asarray([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32)
+    e = np.asarray(_irradiance(env, n))
+    assert e[0].sum() > 10.0 * max(e[1].sum(), 1e-6)
+
+
 def test_session_progressive_and_observer_restart():
     s = scene()
     ses = RenderSession(scene=s, camera=CAM, width=16, height=16,
