@@ -92,11 +92,108 @@ def concat_soa(parts: list[TriangleSoA]) -> TriangleSoA:
     )
 
 
+def _center_of_mass(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Centroid via signed tetrahedra (Mesh.cu:67-88, 225-228): each face
+    forms a tetrahedron with the origin; com = sum(V_f * c_f) / sum(V_f).
+    Open/degenerate meshes (|total volume| ~ 0) fall back to the vertex
+    mean."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    vol = np.einsum("ij,ij->i", v0, np.cross(v1, v2)) / 6.0
+    total = vol.sum()
+    if abs(total) < 1e-9:
+        return positions.mean(axis=0).astype(np.float32)
+    c = (v0 + v1 + v2) / 4.0
+    return ((vol[:, None] * c).sum(axis=0) / total).astype(np.float32)
+
+
+def _euler_matrix(rotation_deg) -> np.ndarray:
+    """XYZ euler (degrees) -> rotation matrix (the editor-slider
+    convention)."""
+    rx, ry, rz = np.radians(np.asarray(rotation_deg, np.float64))
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    mx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    my = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    mz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (mz @ my @ mx).astype(np.float32)
+
+
+@dataclass
+class ObjectEntry:
+    """One render object: source arrays + a TRS about the mesh centroid
+    (Transform.{h,cu}: post-load TRS with centroid pivot, the capability the
+    world-bake-at-load path lacks)."""
+
+    positions: np.ndarray
+    normals: np.ndarray
+    uvs: np.ndarray
+    indices: np.ndarray
+    material_id: int
+    tangents: np.ndarray | None = None
+    name: str = ""
+    translation: np.ndarray = dataclass_field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    rotation: np.ndarray = dataclass_field(
+        default_factory=lambda: np.eye(3, dtype=np.float32))
+    scale: np.ndarray = dataclass_field(
+        default_factory=lambda: np.ones(3, np.float32))
+    _centroid: np.ndarray | None = None
+    _baked: TriangleSoA | None = None
+
+    @property
+    def centroid(self) -> np.ndarray:
+        if self._centroid is None:
+            self._centroid = _center_of_mass(
+                np.asarray(self.positions, np.float32),
+                np.asarray(self.indices, np.int64),
+            )
+        return self._centroid
+
+    def bake(self) -> TriangleSoA:
+        """world = T + C + R S (v - C) (Transform::apply, Transform.cu:48-67
+        pivot semantics); normals by inverse-transpose R S^-1, tangents by
+        the direct map R S."""
+        if self._baked is not None:
+            return self._baked
+        r = np.asarray(self.rotation, np.float32)
+        s = np.asarray(self.scale, np.float32)
+        c = self.centroid
+        t = np.asarray(self.translation, np.float32)
+        p = np.asarray(self.positions, np.float32)
+        n = np.asarray(self.normals, np.float32)
+        identity = (
+            np.allclose(r, np.eye(3)) and np.allclose(s, 1.0)
+            and np.allclose(t, 0.0)
+        )
+        if identity:
+            pw, nw, tanw = p, n, self.tangents
+        else:
+            pw = (p - c) * s @ r.T + c + t
+            nw = (n / np.maximum(s, 1e-12)) @ r.T
+            nw = nw / np.maximum(
+                np.linalg.norm(nw, axis=-1, keepdims=True), 1e-12)
+            tanw = self.tangents
+            if tanw is not None:
+                txyz = (np.asarray(tanw, np.float32)[:, :3] * s) @ r.T
+                tl = np.linalg.norm(txyz, axis=-1, keepdims=True)
+                txyz = txyz / np.maximum(tl, 1e-12)
+                tanw = np.concatenate(
+                    [txyz, np.asarray(tanw, np.float32)[:, 3:4]], axis=1)
+        self._baked = _mesh_to_soa(
+            pw.astype(np.float32), nw.astype(np.float32), self.uvs,
+            self.indices, self.material_id, tangents=tanw,
+        )
+        return self._baked
+
+
 @dataclass
 class Scene:
     """Mutable host scene; `build()` compiles it to a SceneData pytree."""
 
-    meshes: list[TriangleSoA] = dataclass_field(default_factory=list)
+    objects: list[ObjectEntry] = dataclass_field(default_factory=list)
     material_albedo: list = dataclass_field(default_factory=list)
     material_roughness: list = dataclass_field(default_factory=list)
     material_metallic: list = dataclass_field(default_factory=list)
@@ -156,11 +253,13 @@ class Scene:
             normals = _smooth_normals(positions, np.asarray(indices, np.int64))
         if uvs is None:
             uvs = np.zeros((positions.shape[0], 2), np.float32)
-        self.meshes.append(
-            _mesh_to_soa(positions, normals, uvs, indices, material_id,
-                         tangents=tangents)
-        )
+        self.objects.append(ObjectEntry(
+            positions=positions, normals=np.asarray(normals, np.float32),
+            uvs=np.asarray(uvs, np.float32), indices=indices,
+            material_id=material_id, tangents=tangents,
+        ))
         self.notify()
+        return len(self.objects) - 1
 
     def load(self, path: str, reference_material_quirk: bool = False):
         """Scene::load equivalent (Scene.cu:24): import a .glb with world
@@ -187,12 +286,12 @@ class Scene:
                 ao_tex=shift(m.ao_tex),
             )
         for mesh in data.meshes:
-            self.meshes.append(
-                _mesh_to_soa(
-                    mesh.positions, mesh.normals, mesh.uvs, mesh.indices,
-                    base + mesh.material, tangents=mesh.tangents,
-                )
-            )
+            self.objects.append(ObjectEntry(
+                positions=mesh.positions, normals=mesh.normals,
+                uvs=mesh.uvs, indices=mesh.indices,
+                material_id=base + mesh.material, tangents=mesh.tangents,
+                name=mesh.name,
+            ))
         self.notify()
         return self
 
@@ -215,6 +314,38 @@ class Scene:
         )
         self.notify()
 
+    def set_transform(self, obj_id: int, translation=None, rotation_deg=None,
+                      rotation=None, scale=None):
+        """Set an object's absolute TRS about its centroid and re-bake it
+        (Transform::apply semantics, Transform.cu:48-67, 113-125): the edit
+        bumps `version`, so progressive sessions restart — the
+        ObjectEditWindow -> Scene -> Film observer chain."""
+        o = self.objects[obj_id]
+        if translation is not None:
+            o.translation = np.asarray(translation, np.float32)
+        if rotation is not None:
+            o.rotation = np.asarray(rotation, np.float32).reshape(3, 3)
+        elif rotation_deg is not None:
+            o.rotation = _euler_matrix(rotation_deg)
+        if scale is not None:
+            o.scale = np.broadcast_to(
+                np.asarray(scale, np.float32).reshape(-1), (3,)).copy()
+        o._baked = None  # re-bake this one mesh lazily
+        self.notify()
+
+    def apply_transform(self, obj_id: int, translation=(0, 0, 0),
+                        rotation_deg=(0, 0, 0), scale=(1, 1, 1)):
+        """Compose an incremental TRS onto the object's current transform
+        (the reference's incremental Transform::apply)."""
+        o = self.objects[obj_id]
+        o.translation = o.translation + np.asarray(translation, np.float32)
+        o.rotation = (_euler_matrix(rotation_deg) @ o.rotation).astype(
+            np.float32)
+        o.scale = o.scale * np.broadcast_to(
+            np.asarray(scale, np.float32).reshape(-1), (3,))
+        o._baked = None
+        self.notify()
+
     def add_point_light(self, position, color=(1, 1, 1), ls=1.0):
         """Parity stub: stored but non-illuminating (reference PointLight has
         no device implementation)."""
@@ -226,11 +357,11 @@ class Scene:
     # -- compilation ---------------------------------------------------------
 
     def build(self) -> SceneData:
-        if not self.meshes:
+        if not self.objects:
             raise ValueError("Scene has no geometry")
         if not self.material_albedo:
             self.add_material()
-        tris = concat_soa(self.meshes)
+        tris = concat_soa([o.bake() for o in self.objects])
         bvh, wide, tris = build_accel(
             tris, max_leaf=self.max_leaf, method=self.bvh_method
         )

@@ -192,3 +192,60 @@ def test_point_light_parity_stub():
 
     assert lm.num_lights(before.lights) == lm.num_lights(after.lights)
     assert len(s.point_lights) == 1
+
+
+def test_object_trs_transform_moves_sphere_between_renders():
+    """set_transform re-bakes one object about its centroid and bumps the
+    scene version (Transform.cu:48-67 + observer chain): the moved sphere
+    shows up at its new position in the next render."""
+    from mc_path_tracer_tpu.models.preview import render_preview
+
+    s = Scene()
+    s.set_environment_color((0.1, 0.1, 0.1), ls=1.0)
+    m = s.add_material(albedo=(0.9, 0.2, 0.2))
+    p, n, uv, idx = uv_sphere(0.6, center=(-1.5, 0.6, 0), rings=8, segments=12)
+    obj = s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+    cam = PerspectiveCamera(position=np.array([0.0, 1.0, 5.0]),
+                            target=np.array([0.0, 0.6, 0.0]))
+    v0 = s.version
+    d_left = np.asarray(render_preview(s, cam, 32, 24, "depth").ld)[..., 0]
+    s.set_transform(obj, translation=(3.0, 0.0, 0.0))  # move to the right
+    assert s.version > v0
+    d_right = np.asarray(render_preview(s, cam, 32, 24, "depth").ld)[..., 0]
+    left_half = slice(None, 16)
+    right_half = slice(16, None)
+    assert (d_left[:, left_half] > 0).any()
+    assert not (d_left[:, right_half] > 0).any()
+    assert (d_right[:, right_half] > 0).any()
+    assert not (d_right[:, left_half] > 0).any()
+
+
+def test_object_trs_rotation_scale_about_centroid():
+    """Rotation/scale pivot about the centroid: a unit sphere at an offset
+    center keeps its center under rotation and doubles its extent under
+    scale=2 (pivot invariance, Transform.cu centroid pivot)."""
+    s = Scene()
+    m = s.add_material()
+    p, n, uv, idx = uv_sphere(0.5, center=(2.0, 1.0, 0.0), rings=8, segments=12)
+    obj = s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+    e = s.objects[obj]
+    np.testing.assert_allclose(e.centroid, [2.0, 1.0, 0.0], atol=1e-2)
+    base = e.bake()
+    s.set_transform(obj, rotation_deg=(0, 0, 90))
+    rot = s.objects[obj].bake()
+    # rotation about its own centroid: every vertex keeps its distance to
+    # the pivot (isometry about C)
+    c = e.centroid
+    d_base = np.sort(np.linalg.norm(np.asarray(base.v0) - c, axis=-1))
+    d_rot = np.sort(np.linalg.norm(np.asarray(rot.v0) - c, axis=-1))
+    np.testing.assert_allclose(d_rot, d_base, atol=1e-4)
+    s.set_transform(obj, rotation_deg=(0, 0, 0), scale=2.0)
+    big = s.objects[obj].bake()
+    ext_b = np.asarray(base.v0).max(0) - np.asarray(base.v0).min(0)
+    ext_s = np.asarray(big.v0).max(0) - np.asarray(big.v0).min(0)
+    np.testing.assert_allclose(ext_s, 2.0 * ext_b, rtol=0.05)
+    # normals stay unit under anisotropic scale
+    s.set_transform(obj, scale=(3.0, 1.0, 1.0))
+    aniso = s.objects[obj].bake()
+    nn = np.asarray(aniso.n0)
+    np.testing.assert_allclose(np.linalg.norm(nn, axis=-1), 1.0, atol=1e-4)

@@ -15,6 +15,8 @@ import argparse
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 
@@ -103,28 +105,67 @@ def main():
 
     n_bounce = depth - 1          # NEE bounces per sample
     n_ext = depth - 2             # extension intersects per sample
+
+    # The axon tunnel costs ~25 ms PER DISPATCH, so single-dispatch timing
+    # floors there.  Every component is timed as a lax.scan of SCAN_N
+    # iterations inside ONE jit (inputs perturbed per step so XLA cannot
+    # CSE), minus the measured dispatch floor, divided by SCAN_N.
+    SCAN_N = 25
+    f_null = jax.jit(lambda x: x + 1.0)
+    t_disp = timeit(f_null, jnp.zeros((8, 128), jnp.float32))
+    log(f"dispatch floor: {t_disp*1e3:.2f} ms")
+
+    def scan_time(step_fn, init):
+        """Per-iteration time of step_fn inside a scan (dispatch removed)."""
+        f = jax.jit(
+            lambda c0: jax.lax.scan(
+                lambda c, i: (step_fn(c, i), None), c0,
+                jnp.arange(SCAN_N, dtype=jnp.int32),
+            )[0]
+        )
+        t = timeit(f, init, reps=3, warmup=1)
+        return max(t - t_disp, 0.0) / SCAN_N
+
     # --- full block first (compile everything once) ---
     t_block = timeit(
         lambda: _render_block(sd, cam, px, py, key, cfg, width, height, spp),
         reps=3, warmup=1,
     )
     add("FULL BLOCK (64k rays, spp x depth)", t_block, 1)
+    # marginal spp cost: block at 2*spp minus block at spp = pure pipeline
+    t_block2 = timeit(
+        lambda: _render_block(sd, cam, px, py, key, cfg, width, height,
+                              2 * spp),
+        reps=3, warmup=1,
+    )
+    add(f"marginal +{spp} spp (no dispatch)", t_block2 - t_block, 1)
 
-    # --- components ---
-    # RNG: 10 uniforms per lane per bounce
-    f_rng = jax.jit(lambda k: rng.pixel_uniforms(k, pid, 10))
-    add("rng.pixel_uniforms[64k,10]", timeit(f_rng, key), spp * n_bounce)
+    # --- components (scan-amortized) ---
+    add("rng.pixel_uniforms[64k,10]",
+        scan_time(lambda c, i: c + jnp.sum(
+            rng.pixel_uniforms(jax.random.fold_in(key, i), pid, 10)),
+            jnp.float32(0)),
+        spp * n_bounce)
 
-    # primary/extension closest-hit (all lanes live)
-    f_int = jax.jit(lambda o, d: _intersect(sd, cfg, o, d).t)
-    add("closest-hit intersect [64k]", timeit(f_int, ro, rd), spp * (1 + n_ext))
+    # primary/extension closest-hit (all lanes live); origin jittered per
+    # step to defeat CSE
+    add("closest-hit intersect [64k]",
+        scan_time(lambda c, i: c + jnp.sum(
+            _intersect(sd, cfg,
+                       ro + i.astype(jnp.float32) * 1e-5, rd).t
+            .clip(0, 1e6)) * 1e-9,
+            jnp.float32(0)),
+        spp * (1 + n_ext))
 
     # fused any-hit [128k]
     ro2 = jnp.concatenate([ro, ro], axis=0)
     rd2 = jnp.concatenate([rd, -rd], axis=0)
     m2 = jnp.ones(2 * R, bool)
-    f_occ = jax.jit(lambda o, d, m: _occluded(sd, cfg, o, d, mask=m))
-    add("fused any-hit occluded [128k]", timeit(f_occ, ro2, rd2, m2),
+    add("fused any-hit occluded [128k]",
+        scan_time(lambda c, i: c + jnp.sum(
+            _occluded(sd, cfg, ro2 + i.astype(jnp.float32) * 1e-5, rd2,
+                      mask=m2).astype(jnp.float32)) * 1e-9,
+            jnp.float32(0)),
         spp * n_bounce)
 
     # material gather + full brdf stage math at 64k
@@ -148,33 +189,46 @@ def main():
         ws = brdf.mixture_sample_wi(mat, n, wo, u[:, 6], u[:, 7:9])
         pdf_s = brdf.mixture_pdf(mat, n, ws, wo)
         f_s = brdf.mixture_f(mat, n, ws, wo)
-        return (f_l * li * pdf_l[:, None] + f_b + f_s * pdf_s[:, None]
-                + wb + ws)
+        return (jnp.sum(f_l * li * pdf_l[:, None] + f_b
+                        + f_s * pdf_s[:, None] + wb + ws)
+                + jnp.sum(pdf_b))
 
-    u0 = jax.block_until_ready(f_rng(key))
-    add("shading math (mat+lights+brdf)", timeit(jax.jit(shading), u0),
+    u_base = jax.block_until_ready(
+        jax.jit(lambda k: rng.pixel_uniforms(k, pid, 10))(key))
+    add("shading math (mat+lights+brdf)",
+        scan_time(lambda c, i: c + shading(
+            u_base + i.astype(jnp.float32) * 1e-6) * 1e-9,
+            jnp.float32(0)),
         spp * n_bounce)
 
     # env radiance+pdf alone (the lights calls above include it; this
     # isolates the env gather cost)
-    f_env = jax.jit(
-        lambda d: lights_mod.radiance(lights, jnp.zeros(R, jnp.int32), d)
-        + lights_mod.pdf(lights, jnp.zeros(R, jnp.int32), d)[:, None]
-    )
-    add("env radiance+pdf [64k]", timeit(f_env, rd), spp * n_bounce)
+    zid = jnp.zeros(R, jnp.int32)
+    add("env radiance+pdf [64k]",
+        scan_time(lambda c, i: c + jnp.sum(
+            lights_mod.radiance(
+                lights, zid, rd + i.astype(jnp.float32) * 1e-6)
+            + lights_mod.pdf(
+                lights, zid, rd + i.astype(jnp.float32) * 1e-6)[:, None])
+            * 1e-9,
+            jnp.float32(0)),
+        spp * n_bounce)
 
     # camera ray gen
-    f_cam = jax.jit(
-        lambda: camera_mod.gen_camera_rays(cam, width, height, px, py, lens_u)
-    )
-    add("camera gen_rays [64k]", timeit(f_cam), spp)
+    add("camera gen_rays [64k]",
+        scan_time(lambda c, i: c + jnp.sum(
+            camera_mod.gen_camera_rays(
+                cam, width, height, px + i.astype(jnp.float32) * 1e-3, py,
+                lens_u)[1]) * 1e-9,
+            jnp.float32(0)),
+        spp)
 
     # --- summary ---
-    total_acc = sum(r[3] for r in rows[1:])
+    total_acc = sum(r[3] for r in rows[2:])
     block_ms = rows[0][3]
     log("-" * 70)
     log(f"components sum: {total_acc:.1f} ms vs block {block_ms:.1f} ms "
-        f"(residual {block_ms - total_acc:.1f} ms = fusion/dispatch/other)")
+        f"(residual {block_ms - total_acc:.1f} ms = fusion/other)")
     rays = R * spp * (1 + n_ext + 2 * n_bounce)
     log(f"block throughput: {rays / (block_ms / 1e3) / 1e6:.2f} Mrays/s")
 
