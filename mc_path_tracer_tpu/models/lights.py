@@ -286,8 +286,15 @@ def sample_dir(lights: LightSet, light_id: jnp.ndarray, u2: jnp.ndarray) -> jnp.
 
 def with_packed(lights: LightSet) -> LightSet:
     """Attach the one-gather bilinear radiance table to an HDRI env light.
-    Call once at the top of a traced render; differentiable w.r.t. env.tex."""
+    Call once at the top of a traced render; differentiable w.r.t. env.tex.
+
+    Large HDRIs (> ~2M texels, e.g. 4k x 2k) skip the quad-pack — it would
+    4x a texture that is already ~100 MB; radiance() falls back to the
+    4-gather bilinear fetch for them."""
     if not env_is_hdri(lights.env) or lights.env.packed is not None:
+        return lights
+    h, w = lights.env.tex.shape[0], lights.env.tex.shape[1]
+    if h * w > 2 * 1024 * 1024:
         return lights
     return lights._replace(
         env=lights.env._replace(packed=envmap.pack_bilinear(lights.env.tex))

@@ -103,6 +103,35 @@ def build_distribution_traced(tex: jnp.ndarray) -> EnvMapDistribution:
     return EnvMapDistribution(marginal_cdf, cond_cdf, pdf_texture)
 
 
+# above this table width/height the flat broadcast-compare search switches
+# to the two-level (blocked) form: a 4k x 2k HDRI at a 64k-ray block would
+# otherwise gather + compare a [64k, 4096] row matrix (~1 GiB transient)
+_SEARCH_BLOCK = 128
+_FLAT_SEARCH_MAX = 1024
+
+
+def _search_rows_2level(cdf_rows: jnp.ndarray, row_idx, e) -> jnp.ndarray:
+    """Per-lane searchsorted(side=right) of e within cdf_rows[row_idx]
+    in two levels: block maxima first ([R, W/B] compare), then one [R, B]
+    window gather — peak memory W/B + B wide per lane instead of W."""
+    h, w = cdf_rows.shape
+    b = _SEARCH_BLOCK
+    nb = -(-w // b)
+    pad = nb * b - w
+    if pad:
+        # padding value 2.0 > any CDF entry: never counted by <= e
+        cdf_rows = jnp.pad(cdf_rows, ((0, 0), (0, pad)), constant_values=2.0)
+    coarse = cdf_rows[:, b - 1 :: b]                        # [H, nb]
+    crow = coarse[row_idx]                                  # [R, nb]
+    blk = jnp.clip(
+        jnp.sum((crow <= e[..., None]).astype(jnp.int32), axis=-1), 0, nb - 1
+    )
+    flat = cdf_rows.reshape(h * nb, b)
+    win = flat[row_idx * nb + blk]                          # [R, b]
+    off = jnp.sum((win <= e[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.clip(blk * b + off, 0, w - 1)
+
+
 def sample_direction(
     dist: EnvMapDistribution, u: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,16 +144,28 @@ def sample_direction(
     ey, ex = u[..., 1], u[..., 0]
     # broadcast compare-and-count == searchsorted(side="right") without the
     # log(H) sequential row gathers XLA lowers binary search to (row gathers
-    # cost ~20ns/lane on TPU; one [R, H] compare is pure VPU work)
-    y = jnp.clip(
-        jnp.sum((dist.marginal_cdf[None, :] <= ey[..., None]).astype(jnp.int32),
-                axis=-1),
-        0, h - 1,
-    )
-    row_cdf = dist.cond_cdf[y]                 # gather rows [..., W]
-    x = jnp.clip(
-        jnp.sum((row_cdf <= ex[..., None]).astype(jnp.int32), axis=-1), 0, w - 1
-    )
+    # cost ~20ns/lane on TPU; one [R, H] compare is pure VPU work).  Large
+    # tables switch to the blocked two-level search (bounded peak memory).
+    if h <= _FLAT_SEARCH_MAX:
+        y = jnp.clip(
+            jnp.sum(
+                (dist.marginal_cdf[None, :] <= ey[..., None]).astype(jnp.int32),
+                axis=-1,
+            ),
+            0, h - 1,
+        )
+    else:
+        y = _search_rows_2level(
+            dist.marginal_cdf[None, :], jnp.zeros_like(ey, jnp.int32), ey
+        )
+    if w <= _FLAT_SEARCH_MAX:
+        row_cdf = dist.cond_cdf[y]                 # gather rows [..., W]
+        x = jnp.clip(
+            jnp.sum((row_cdf <= ex[..., None]).astype(jnp.int32), axis=-1),
+            0, w - 1,
+        )
+    else:
+        x = _search_rows_2level(dist.cond_cdf, y, ex)
     uv = jnp.stack([x.astype(jnp.float32) / w, y.astype(jnp.float32) / h], axis=-1)
     return equirect_dir(uv), uv
 
