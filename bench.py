@@ -50,6 +50,7 @@ def build_bench_scene():
 
 
 def main():
+    import argparse
     import sys
     import dataclasses
 
@@ -60,6 +61,15 @@ def main():
 
     enable_persistent_cache()
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--full-frame", action="store_true",
+        help="time every block of the frame end-to-end (measured, not "
+             "extrapolated from 8 strided blocks)",
+    )
+    ap.add_argument("--spp", type=int, default=4)
+    args = ap.parse_args()
+
     from mc_path_tracer_tpu.models.camera import PerspectiveCamera
     from mc_path_tracer_tpu.models.integrator import (
         PIXEL_CHUNK,
@@ -69,7 +79,7 @@ def main():
 
     width, height = 1920, 1080
     depth = 5
-    spp = 4
+    spp = args.spp
     cfg = RenderConfig(spp=spp, max_depth=depth)
 
     def log(msg):
@@ -110,12 +120,17 @@ def main():
     jax.block_until_ready(acc)
     log(f"compile+first block: {time.perf_counter()-t0:.1f}s")
 
-    # sample blocks strided across the WHOLE frame (sky rows at the top are
-    # much cheaper than geometry rows; sampling only the first blocks would
-    # overstate throughput)
-    n_timed = min(8, n_blocks)
-    stride = max(1, n_blocks // n_timed)
-    timed_blocks = list(range(0, n_blocks, stride))[:n_timed]
+    # --full-frame: measure EVERY block (the reported number is the real
+    # frame rate); default: 8 blocks strided across the whole frame (sky
+    # rows at the top are much cheaper than geometry rows; sampling only
+    # the first blocks would overstate throughput)
+    if args.full_frame:
+        timed_blocks = list(range(n_blocks))
+        n_timed = n_blocks
+    else:
+        n_timed = min(8, n_blocks)
+        stride = max(1, n_blocks // n_timed)
+        timed_blocks = list(range(0, n_blocks, stride))[:n_timed]
     t0 = time.perf_counter()
     for i, c in enumerate(timed_blocks):
         kc = jax.random.fold_in(key, 1_000_000 + c)

@@ -43,7 +43,7 @@ def test_dense_intersect_matches_brute():
 
     tri_geo = _random_scene()
     ro, rd = _random_rays()
-    t, tid, u, v = intersect_dense_pallas(tri_geo, ro, rd, interpret=True)
+    t, tid, u, v = intersect_dense_pallas(tri_geo.T, ro, rd, interpret=True)
 
     n = tri_geo.shape[0]
     zeros3 = jnp.zeros((n, 3))
@@ -65,7 +65,7 @@ def test_dense_anyhit_matches_brute():
 
     tri_geo = _random_scene(n=77, seed=3)
     ro, rd = _random_rays(n=96, seed=4)
-    occ = occluded_dense_pallas(tri_geo, ro, rd, interpret=True)
+    occ = occluded_dense_pallas(tri_geo.T, ro, rd, interpret=True)
     n = tri_geo.shape[0]
     zeros3 = jnp.zeros((n, 3))
     zeros2 = jnp.zeros((n, 2))
