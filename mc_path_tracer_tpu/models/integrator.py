@@ -92,6 +92,10 @@ class RenderConfig:
     jitter: bool = False           # reference shoots pixel centers only
     reference_quirks: bool = False
     rr_start: int = RR_START
+    # octant-sort + dead-lane-compact Pallas traversal dispatches (measured
+    # 81 -> 56 ms on a 64k incoherent closest-hit; ~0.5 ms overhead).  The
+    # estimator is unaffected: sorting permutes kernel lanes only.
+    sort_rays: bool = True
 
 
 def _on_tpu() -> bool:
@@ -141,7 +145,8 @@ def _intersect(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None):
         from mc_path_tracer_tpu.ops.pallas.traversal_kernel import intersect_pallas
 
         return intersect_pallas(
-            scene.leaf, scene.tris, ro, rd, mask=mask, interpret=not _on_tpu()
+            scene.leaf, scene.tris, ro, rd, mask=mask,
+            interpret=not _on_tpu(), sort=cfg.sort_rays,
         )
     if accel in ("wide", "pallas") and scene.wide is not None:
         from mc_path_tracer_tpu.ops.wide_bvh import intersect_wide
@@ -166,7 +171,8 @@ def _occluded(scene: SceneData, cfg: RenderConfig, ro, rd, mask=None, t_max=None
         from mc_path_tracer_tpu.ops.pallas.traversal_kernel import occluded_pallas
 
         return occluded_pallas(
-            scene.leaf, ro, rd, mask=mask, t_max=t_max, interpret=not _on_tpu()
+            scene.leaf, ro, rd, mask=mask, t_max=t_max,
+            interpret=not _on_tpu(), sort=cfg.sort_rays,
         )
     if accel in ("wide", "pallas") and scene.wide is not None:
         from mc_path_tracer_tpu.ops.wide_bvh import occluded_wide

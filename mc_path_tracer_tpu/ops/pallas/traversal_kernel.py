@@ -473,6 +473,27 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
 # ---------------------------------------------------------------------------
 
 
+def _sort_perm(rd, mask):
+    """Stable permutation grouping lanes by direction octant, dead lanes
+    last.  Stability preserves the caller's tile-major order inside each
+    octant class, so sorted 512-ray blocks are direction-coherent AND
+    origin-tight — measured 81 -> 56 ms on a 64k diffuse-bounce closest-hit
+    dispatch (PROFILE_r03), while the argsort+gather overhead is ~0.5 ms.
+    Dead lanes compact into all-dead tail blocks, which the kernel's
+    `alive` fast path skips entirely."""
+    octant = (
+        (rd[:, 0] > 0).astype(jnp.int32) * 4
+        + (rd[:, 1] > 0).astype(jnp.int32) * 2
+        + (rd[:, 2] > 0).astype(jnp.int32)
+    )
+    key = octant if mask is None else jnp.where(mask, octant, 8)
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype)
+    )
+    return perm, inv
+
+
 def _pack_rays(ro, rd, mask, t_max, r_pad):
     r = ro.shape[0]
     live = jnp.ones(r, jnp.float32) if mask is None else mask.astype(jnp.float32)
@@ -485,11 +506,12 @@ def _pack_rays(ro, rd, mask, t_max, r_pad):
     return packed
 
 
-def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret):
+def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
+              block: int = RAY_BLOCK):
     r = ro.shape[0]
-    r_pad = -(-r // RAY_BLOCK) * RAY_BLOCK
+    r_pad = -(-r // block) * block
     packed = _pack_rays(ro, rd, mask, t_max, r_pad)
-    nb = r_pad // RAY_BLOCK
+    nb = r_pad // block
     l_pad = table.l_pad
     n_chunks = l_pad // LANES
     kernel = _make_kernel(any_hit, table.num_leaves, l_pad)
@@ -498,13 +520,13 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret):
         out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
+            pl.BlockSpec((block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rows (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # base (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # boxes_t (resident)
         ],
-        out_specs=pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((-(-n_chunks // 8) * 8, LANES), jnp.float32),  # tn_mat
@@ -515,8 +537,8 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret):
             pltpu.SMEM((l_pad + 8,), jnp.float32),   # entry distances
             pltpu.SMEM((l_pad + 8,), jnp.float32),   # suffix minima
             pltpu.VMEM((16, 4 * LANES), jnp.float32),   # G coefficients
-            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),    # best t / occ
-            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),    # best tri id
+            pltpu.VMEM((block, 1), jnp.float32),        # best t / occ
+            pltpu.VMEM((block, 1), jnp.float32),        # best tri id
             pltpu.SMEM((1,), jnp.float32),              # block max-best t
         ],
         interpret=interpret,
@@ -540,9 +562,22 @@ def intersect_pallas(
     ray_d: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     interpret: bool = False,
+    sort: bool = False,
 ) -> Hit:
-    """Closest-hit traversal (reference intersect(), Triangle.cu:144-200)."""
-    t, tri_id = _traverse(table, ray_o, ray_d, False, mask, None, interpret)
+    """Closest-hit traversal (reference intersect(), Triangle.cu:144-200).
+
+    `sort=True` dispatches the kernel over octant-grouped, dead-compacted
+    lanes (see _sort_perm) and unsorts only (t, tri_id) — two [R] gathers —
+    before the exact winner recompute, which runs in caller order."""
+    if sort:
+        perm, inv = _sort_perm(ray_d, mask)
+        t_s, id_s = _traverse(
+            table, ray_o[perm], ray_d[perm], False,
+            None if mask is None else mask[perm], None, interpret,
+        )
+        t, tri_id = t_s[inv], id_s[inv]
+    else:
+        t, tri_id = _traverse(table, ray_o, ray_d, False, mask, None, interpret)
     hit = tri_id >= 0
     u, v, t_exact = _winner_uvt(tris, tri_id, ray_o, ray_d)
     # Sanitize miss/masked lanes: dead-lane origins can be ~1e32 (o +
@@ -562,6 +597,15 @@ def occluded_pallas(
     mask: jnp.ndarray | None = None,
     t_max: jnp.ndarray | None = None,
     interpret: bool = False,
+    sort: bool = False,
 ) -> jnp.ndarray:
     """Any-hit traversal (reference intersect_shadows, Triangle.cu:204-248)."""
+    if sort:
+        perm, inv = _sort_perm(ray_d, mask)
+        occ = _traverse(
+            table, ray_o[perm], ray_d[perm], True,
+            None if mask is None else mask[perm],
+            None if t_max is None else t_max[perm], interpret,
+        )
+        return occ[inv]
     return _traverse(table, ray_o, ray_d, True, mask, t_max, interpret)

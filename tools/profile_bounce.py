@@ -66,12 +66,17 @@ def main():
     ).params()
     R = PIXEL_CHUNK
     pxi, pyi = tile_order(width, height)
-    px = jnp.asarray(pxi[:R].astype(np.float32))
-    py = jnp.asarray(pyi[:R].astype(np.float32))
+    # mid-frame window: the first 64k pixels in tile order are pure sky
+    # (zero live lanes after the primary hit — round-3 finding); take a
+    # window centred on the geometry rows instead
+    mid = pxi.shape[0] // 2
+    px = jnp.asarray(pxi[mid:mid + R].astype(np.float32))
+    py = jnp.asarray(pyi[mid:mid + R].astype(np.float32))
     pid = (py * width + px).astype(jnp.int32)
     key = jax.random.PRNGKey(0)
     ro, rd = camera_mod.gen_camera_rays(cam, width, height, px, py,
                                         jnp.zeros((R, 2), jnp.float32))
+    log("scene built; compiling primary intersect...")
     hit = jax.jit(lambda o, d: _intersect(sd, cfg, o, d))(ro, rd)
     hit = jax.block_until_ready(hit)
 
@@ -103,6 +108,7 @@ def main():
     def j(i):
         return i.astype(jnp.float32) * 1e-5
 
+    log("timing closest coherent primary...")
     t = scan_time(lambda c, i: c + jnp.sum(
         _intersect(sd, cfg, ro + j(i), rd).t.clip(0, 1e6)) * 1e-9)
     log(f"closest coherent primary      {t*1e3:8.2f} ms")
