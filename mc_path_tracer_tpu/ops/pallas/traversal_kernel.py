@@ -57,13 +57,23 @@ from mc_path_tracer_tpu.ops.intersect import (
 from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE
 from mc_path_tracer_tpu.ops.wide_bvh import LANES, N_COMP, _META_COMP, WideBVH
 
-RAY_BLOCK = 512
+# 256-ray traversal blocks: A/B on incoherent bounce rays (tools/ab_block.py,
+# r3) measured closest 55->48 ms and any-hit 93->82 ms vs 512 (tighter
+# per-block leaf worklists); 128 reverses the gain (per-block fixed costs).
+RAY_BLOCK = 256
 _FAR = 3e37
 
 # leaf rows resident in VMEM: [L, 10, 128] f32 = L * 5 KB.  Budget ~8 MB of
 # the ~16 MB VMEM for the table (the rest: ray blocks, work arrays, lists).
 LEAF_VMEM_LIMIT = 8 * 1024 * 1024
 MAX_LEAVES = LEAF_VMEM_LIMIT // (N_COMP * LANES * 4)
+
+# beyond the VMEM budget the rows stay in HBM and phase 2 double-buffers
+# each visited 5 KB leaf row through a 2-slot VMEM ring by async DMA (the
+# SMEM worklist IS the prefetch schedule — the extension designed in r2's
+# docstring, now implemented).  The cap is the SMEM worklist budget
+# (3 arrays x 4 B per leaf), not VMEM: ~8k leaves = ~1M inline triangles.
+MAX_LEAVES_STREAM = 8192
 
 
 @dataclass(frozen=True)
@@ -96,16 +106,20 @@ jax.tree_util.register_dataclass(
 )
 
 
-def build_leaf_table(wide: WideBVH) -> LeafTable | None:
+def build_leaf_table(
+    wide: WideBVH, max_leaves: int = MAX_LEAVES_STREAM
+) -> LeafTable | None:
     """Extract the leaf rows of a WideBVH and their AABBs (host numpy).
 
-    Returns None when the table would not fit the VMEM budget (callers fall
-    back to the XLA wide traversal)."""
+    Tables up to MAX_LEAVES traverse fully VMEM-resident; up to
+    MAX_LEAVES_STREAM they traverse with HBM rows + double-buffered DMA
+    (chosen per dispatch in _traverse).  Returns None beyond the stream cap
+    (callers fall back to the XLA wide traversal)."""
     table = np.asarray(wide.rows)
     is_leaf = table[:, _META_COMP, 0] > 0.5
     rows = table[is_leaf]
     n = rows.shape[0]
-    if n == 0 or n > MAX_LEAVES:
+    if n == 0 or n > max_leaves:
         return None
     # AABB per leaf from its inline triangles (v0, v0+e1, v0+e2), masking
     # the zero-padded absent lanes by count
@@ -168,13 +182,14 @@ def _mt_leaf(row, ox, oy, oz, dx, dy, dz):
     return valid, tt, uu, vv
 
 
-def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
+def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
+                 stream: bool = False):
     n_chunks = l_pad // LANES
     nc_pad = -(-n_chunks // 8) * 8
 
     def kernel(rays_ref, rows_ref, base_ref, boxes_ref, out_ref,
                tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
-               g_mat, best_a, best_b, tblk_sm):
+               g_mat, best_a, best_b, tblk_sm, *stream_scratch):
         b = rays_ref.shape[0]
         ox, oy, oz = rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3]
         dx, dy, dz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
@@ -195,7 +210,7 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
             _kernel_phases(
                 rays_ref, rows_ref, base_ref, boxes_ref,
                 tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
-                g_mat, best_a, best_b, tblk_sm,
+                g_mat, best_a, best_b, tblk_sm, stream_scratch,
                 ox, oy, oz, dx, dy, dz, live, t_max, b,
             )
 
@@ -207,7 +222,7 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
 
     def _kernel_phases(rays_ref, rows_ref, base_ref, boxes_ref,
                        tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
-                       g_mat, best_a, best_b, tblk_sm,
+                       g_mat, best_a, best_b, tblk_sm, stream_scratch,
                        ox, oy, oz, dx, dy, dz, live, t_max, b):
         eps = 1e-12
         ix = jnp.reciprocal(jnp.where(jnp.abs(dx) > eps, dx,
@@ -335,9 +350,19 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
         g_mat[:, :] = jnp.zeros((16, 4 * LANES), jnp.float32)
         tblk_sm[0] = K_HUGE
 
-        def _load_g(l):
-            """Assemble G[16, 512] for leaf l from its resident row."""
-            row = rows_ref[l]
+        if stream:
+            row_buf, dma_sem = stream_scratch
+
+            def _row_dma(i):
+                """DMA descriptor for worklist entry i -> ring slot i%2."""
+                slot = jax.lax.rem(i, 2)
+                return pltpu.make_async_copy(
+                    rows_ref.at[list_sm[i]], row_buf.at[slot],
+                    dma_sem.at[slot],
+                )
+
+        def _load_g(row):
+            """Assemble G[16, 512] for one [10, 128] leaf row."""
             v0x, v0y, v0z = row[0:1] - cx, row[1:2] - cy, row[2:3] - cz
             e1x, e1y, e1z = row[3:4], row[4:5], row[5:6]
             e2x, e2y, e2z = row[6:7], row[7:8], row[8:9]
@@ -409,11 +434,22 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
             # in VMEM scratch, only scalars flow through the while carry)
             def body(carry):
                 i, _ = carry
+                if stream:
+                    # prefetch i+1 while visiting i; the wait must run even
+                    # when the visit is skipped (semaphore bookkeeping)
+                    @pl.when(i + 1 < n)
+                    def _pref():
+                        _row_dma(i + 1).start()
+
+                    _row_dma(i).wait()
 
                 @pl.when(tn_sm[i] <= tblk_sm[0])
                 def _visit():
                     l = list_sm[i]
-                    _load_g(l)
+                    if stream:
+                        _load_g(row_buf[jax.lax.rem(i, 2)])
+                    else:
+                        _load_g(rows_ref[l])
                     det, tp, valid = _pairs()
                     t_best = best_a[:, :]
                     rcp = jnp.reciprocal(
@@ -440,17 +476,34 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
                 stop = suff_sm[i + 1] > tblk_sm[0]
                 return i + 1, stop
 
-            jax.lax.while_loop(
+            if stream:
+                @pl.when(n > 0)
+                def _warm():
+                    _row_dma(0).start()
+
+            final_i, _ = jax.lax.while_loop(
                 lambda c: (c[0] < n) & jnp.logical_not(c[1]),
                 body, (jnp.int32(0), n == 0),
             )
+            if stream:
+                # an early break leaves the prefetched row i+1 in flight
+                @pl.when(final_i < n)
+                def _drain():
+                    _row_dma(final_i).wait()
         else:
             # ---- phase 2: any hit over the worklist (early exit when every
             # live ray is occluded; occlusion kept in VMEM scratch)
             def body(carry):
                 i, _ = carry
-                l = list_sm[i]
-                _load_g(l)
+                if stream:
+                    @pl.when(i + 1 < n)
+                    def _pref():
+                        _row_dma(i + 1).start()
+
+                    _row_dma(i).wait()
+                    _load_g(row_buf[jax.lax.rem(i, 2)])
+                else:
+                    _load_g(rows_ref[list_sm[i]])
                 det, tp, valid = _pairs()
                 valid = valid & (tp <= t_max * det)
                 hit_here = jnp.max(
@@ -460,10 +513,19 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
                 stop = jnp.min(jnp.where(live, best_a[:, :], 1.0)) >= 0.5
                 return i + 1, stop
 
-            jax.lax.while_loop(
+            if stream:
+                @pl.when(n > 0)
+                def _warm():
+                    _row_dma(0).start()
+
+            final_i, _ = jax.lax.while_loop(
                 lambda c: (c[0] < n) & jnp.logical_not(c[1]),
                 body, (jnp.int32(0), n == 0),
             )
+            if stream:
+                @pl.when(final_i < n)
+                def _drain():
+                    _row_dma(final_i).wait()
 
     return kernel
 
@@ -473,20 +535,39 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int):
 # ---------------------------------------------------------------------------
 
 
-def _sort_perm(rd, mask):
-    """Stable permutation grouping lanes by direction octant, dead lanes
-    last.  Stability preserves the caller's tile-major order inside each
-    octant class, so sorted 512-ray blocks are direction-coherent AND
-    origin-tight — measured 81 -> 56 ms on a 64k diffuse-bounce closest-hit
-    dispatch (PROFILE_r03), while the argsort+gather overhead is ~0.5 ms.
-    Dead lanes compact into all-dead tail blocks, which the kernel's
-    `alive` fast path skips entirely."""
+def _dir_bins(rd, fine: bool):
+    """Direction bin index: octant (3 bits), optionally refined by the
+    normalized |d| simplex coordinates quantized 4x4 (7 bits total, 128
+    bins).  Cheap VPU math; used as the sort key for coherent dispatch."""
     octant = (
         (rd[:, 0] > 0).astype(jnp.int32) * 4
         + (rd[:, 1] > 0).astype(jnp.int32) * 2
         + (rd[:, 2] > 0).astype(jnp.int32)
     )
-    key = octant if mask is None else jnp.where(mask, octant, 8)
+    if not fine:
+        return octant, 8
+    a = jnp.abs(rd)
+    s = jnp.maximum(a.sum(axis=1), 1e-20)
+    u = jnp.clip((4.0 * a[:, 0] / s).astype(jnp.int32), 0, 3)
+    v = jnp.clip((4.0 * a[:, 1] / s).astype(jnp.int32), 0, 3)
+    return octant * 16 + u * 4 + v, 128
+
+
+def _sort_perm(rd, mask, fine: bool = False):
+    """Stable permutation grouping lanes by direction bin, dead lanes
+    last.  Stability preserves the caller's tile-major order inside each
+    bin, so sorted blocks are direction-coherent AND origin-tight —
+    measured 81 -> 48 ms (closest) / 143 -> 82 ms (any-hit) on 64k/128k
+    diffuse-bounce dispatches at 256-ray blocks (tools/ab_block.py), while
+    the argsort+gather overhead is ~0.5 ms.  Dead lanes compact into
+    all-dead tail blocks, which the kernel's `alive` fast path skips
+    entirely."""
+    # fine=True (128 bins) measured slightly WORSE than octants (49.6 vs
+    # 48.0 ms closest, 86 vs 82 ms any-hit): finer bins fragment the stable
+    # sort's tile-locality — each bin draws from the whole dispatch, so
+    # origins spread.  8 octants balance direction vs origin coherence.
+    bins, nb = _dir_bins(rd, fine)
+    key = bins if mask is None else jnp.where(mask, bins, nb)
     perm = jnp.argsort(key, stable=True)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype)
@@ -507,14 +588,16 @@ def _pack_rays(ro, rd, mask, t_max, r_pad):
 
 
 def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
-              block: int = RAY_BLOCK):
+              block: int = RAY_BLOCK, stream: bool | None = None):
     r = ro.shape[0]
     r_pad = -(-r // block) * block
     packed = _pack_rays(ro, rd, mask, t_max, r_pad)
     nb = r_pad // block
     l_pad = table.l_pad
     n_chunks = l_pad // LANES
-    kernel = _make_kernel(any_hit, table.num_leaves, l_pad)
+    if stream is None:
+        stream = table.num_leaves > MAX_LEAVES
+    kernel = _make_kernel(any_hit, table.num_leaves, l_pad, stream=stream)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
@@ -522,7 +605,9 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
         in_specs=[
             pl.BlockSpec((block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rows (resident)
+            pl.BlockSpec(                            # rows: VMEM-resident or
+                memory_space=pltpu.ANY if stream else pltpu.VMEM
+            ),                                       # HBM + per-visit DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),   # base (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # boxes_t (resident)
         ],
@@ -540,7 +625,10 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
             pltpu.VMEM((block, 1), jnp.float32),        # best t / occ
             pltpu.VMEM((block, 1), jnp.float32),        # best tri id
             pltpu.SMEM((1,), jnp.float32),              # block max-best t
-        ],
+        ] + ([
+            pltpu.VMEM((2, N_COMP, LANES), jnp.float32),  # DMA row ring
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if stream else []),
         interpret=interpret,
     )(packed, table.rows, table.base, table.boxes_t)
     if any_hit:

@@ -264,3 +264,46 @@ def test_integrator_dense_accel_matches_wide():
     np.testing.assert_allclose(
         np.asarray(img_d.ld), np.asarray(img_w.ld), rtol=1e-4, atol=1e-5
     )
+
+
+def test_pallas_stream_traversal_matches_resident():
+    """The HBM-streaming phase-2 variant (rows in ANY memory space, 2-slot
+    DMA ring driven by the SMEM worklist) returns bit-identical results to
+    the VMEM-resident kernel, closest AND any-hit, including early-break
+    drains (suffix-min break leaves a prefetch in flight)."""
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import _traverse
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=700, seed=31)
+    ro, rd = random_rays(n=640, seed=32)
+    t_r, id_r = _traverse(table, ro, rd, False, None, None, True,
+                          stream=False)
+    t_s, id_s = _traverse(table, ro, rd, False, None, None, True,
+                          stream=True)
+    np.testing.assert_array_equal(np.asarray(id_r), np.asarray(id_s))
+    np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_s))
+
+    occ_r = _traverse(table, ro, rd, True, None, None, True, stream=False)
+    occ_s = _traverse(table, ro, rd, True, None, None, True, stream=True)
+    np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))
+
+
+def test_leaf_table_beyond_vmem_budget_streams():
+    """Tables above MAX_LEAVES (the VMEM budget) but under the stream cap
+    still build, and _traverse auto-selects streaming for them."""
+    from mc_path_tracer_tpu.ops.pallas import traversal_kernel as tk
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=900, seed=41, max_leaf=2)
+    # simulate a tiny VMEM budget so this table is "too big"
+    old = tk.MAX_LEAVES
+    try:
+        tk.MAX_LEAVES = 1
+        from tests.test_intersect import random_rays
+
+        ro, rd = random_rays(n=256, seed=42)
+        t_s, id_s = tk._traverse(table, ro, rd, False, None, None, True)
+        t_r, id_r = tk._traverse(table, ro, rd, False, None, None, True,
+                                 stream=False)
+        np.testing.assert_array_equal(np.asarray(id_r), np.asarray(id_s))
+    finally:
+        tk.MAX_LEAVES = old

@@ -49,6 +49,7 @@ def main():
         _sort_perm,
         _traverse,
     )
+    import functools
 
     def log(m):
         print(m, flush=True)
@@ -104,43 +105,33 @@ def main():
         return i.astype(jnp.float32) * 1e-5
 
     table = sd.leaf
-    for blk in (512, 256, 128):
-        for sort in (False, True):
-            def closest(c, i, blk=blk, sort=sort):
+    for blk in (256,):
+        for fine in (False, True):
+            def closest(c, i, blk=blk, fine=fine):
                 o, d, m = bo + j(i), bd, live
-                if sort:
-                    perm, inv = _sort_perm(d, m)
-                    t, _ = _traverse(table, o[perm], d[perm], False,
-                                     m[perm], None, False, block=blk)
-                    t = t[inv]
-                else:
-                    t, _ = _traverse(table, o, d, False, m, None, False,
-                                     block=blk)
-                return c + jnp.sum(t.clip(0, 1e6)) * 1e-9
+                perm, inv = _sort_perm(d, m, fine=fine)
+                t, _ = _traverse(table, o[perm], d[perm], False,
+                                 m[perm], None, False, block=blk)
+                return c + jnp.sum(t[inv].clip(0, 1e6)) * 1e-9
 
             t = scan_time(closest)
-            log(f"closest blk={blk:3d} sort={int(sort)}  {t*1e3:8.2f} ms")
+            log(f"closest blk={blk:3d} fine={int(fine)}  {t*1e3:8.2f} ms")
 
     # any-hit on the 128k fused-style mix
     sh = jnp.concatenate([bd, -bd], axis=0)
     so = jnp.concatenate([bo, bo], axis=0)
     sl = jnp.concatenate([live, live], axis=0)
-    for blk in (512, 256, 128):
-        for sort in (False, True):
-            def anyhit(c, i, blk=blk, sort=sort):
+    for blk in (256,):
+        for fine in (False, True):
+            def anyhit(c, i, blk=blk, fine=fine):
                 o, d, m = so + j(i), sh, sl
-                if sort:
-                    perm, inv = _sort_perm(d, m)
-                    occ = _traverse(table, o[perm], d[perm], True,
-                                    m[perm], None, False, block=blk)
-                    occ = occ[inv]
-                else:
-                    occ = _traverse(table, o, d, True, m, None, False,
-                                    block=blk)
-                return c + jnp.sum(occ.astype(jnp.float32)) * 1e-9
+                perm, inv = _sort_perm(d, m, fine=fine)
+                occ = _traverse(table, o[perm], d[perm], True,
+                                m[perm], None, False, block=blk)
+                return c + jnp.sum(occ[inv].astype(jnp.float32)) * 1e-9
 
             t = scan_time(anyhit)
-            log(f"anyhit  blk={blk:3d} sort={int(sort)}  {t*1e3:8.2f} ms")
+            log(f"anyhit  blk={blk:3d} fine={int(fine)}  {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
