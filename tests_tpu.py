@@ -17,6 +17,10 @@ artifact (TESTS_TPU_r03.json) asserting:
   4. The dense Pallas intersector (small-scene route) agrees on config1.
   5. A small compiled-TPU render of config1 matches the committed CPU
      golden (tests/golden/config1.npy) within MC-float tolerance.
+  6. A synthetic ~500k-triangle scene (beyond the VMEM-resident leaf-table
+     budget) traverses on-chip via the HBM-streaming Pallas kernel and
+     agrees with the XLA wide-table traversal (itself brute-oracle-tested
+     in 1-3) on closest and any-hit.
 
 Run: python tests_tpu.py          (exits non-zero on failure)
 """
@@ -262,6 +266,56 @@ def main():
     print(f"golden_render_config1: dev_frac={dev_frac:.4f} "
           f"mean_err={mean_err:.2e} -> {'PASS' if ok else 'FAIL'}")
     all_ok &= ok
+
+    # ---- big-scene streaming traversal (rows beyond the VMEM budget)
+    from mc_path_tracer_tpu.models.primitives import uv_sphere
+    from mc_path_tracer_tpu.models.scene import Scene
+    from mc_path_tracer_tpu.ops.pallas import traversal_kernel as tk
+
+    sbig = Scene()
+    sbig.set_environment_color((0.5, 0.5, 0.5), ls=1.0)
+    mb = sbig.add_material(albedo=(0.7, 0.7, 0.7), roughness=0.6)
+    rng = np.random.default_rng(3)
+    for k in range(10):
+        c = rng.uniform(-6, 6, 3); c[1] = abs(c[1])
+        p, nn, uvs, idx = uv_sphere(
+            1.2, center=tuple(c), rings=160, segments=160)
+        sbig.add_mesh(p, idx, normals=nn, uvs=uvs, material_id=mb)
+    sdb = sbig.build()
+    n_tri = sdb.tris.num_triangles
+    n_leaf = sdb.leaf.num_leaves if sdb.leaf is not None else 0
+    streaming = n_leaf > tk.MAX_LEAVES
+    mark(f"big scene built: {n_tri} tris, {n_leaf} leaves, "
+         f"streaming={streaming}")
+    rob = jnp.asarray(rng.uniform(-8, 8, (2048, 3)).astype(np.float32))
+    rdb = jnp.asarray(rng.normal(size=(2048, 3)).astype(np.float32))
+    rdb = rdb / jnp.linalg.norm(rdb, axis=-1, keepdims=True)
+    cfg_pb = RenderConfig(accel="pallas")
+    cfg_wb = RenderConfig(accel="wide")
+    gp = jax.tree.map(np.asarray, jax.jit(
+        lambda o, d: _intersect(sdb, cfg_pb, o, d))(rob, rdb))
+    gw = jax.tree.map(np.asarray, jax.jit(
+        lambda o, d: _intersect(sdb, cfg_wb, o, d))(rob, rdb))
+    gp_id = np.where(gp.hit, gp.tri_id, -1)
+    gw_id = np.where(gw.hit, gw.tri_id, -1)
+    ok = closest_agreement(
+        "stream_closest_500k", gp.t, gp_id, gw.t, gw_id, checks)
+    checks["stream_closest_500k"]["n_tris"] = int(n_tri)
+    checks["stream_closest_500k"]["n_leaves"] = int(n_leaf)
+    checks["stream_closest_500k"]["streaming_engaged"] = bool(streaming)
+    all_ok &= ok and streaming
+    op = np.asarray(jax.jit(
+        lambda o, d: _occluded(sdb, cfg_pb, o, d))(rob, rdb))
+    ow = np.asarray(jax.jit(
+        lambda o, d: _occluded(sdb, cfg_wb, o, d))(rob, rdb))
+    frac = float(np.mean(op == ow))
+    ok = frac >= 0.999
+    checks["stream_anyhit_500k"] = {
+        "agreement": round(frac, 6), "pass": ok}
+    print(f"stream_anyhit_500k: agreement={frac:.5f} -> "
+          f"{'PASS' if ok else 'FAIL'}")
+    all_ok &= ok
+    mark("big-scene streaming checks done")
 
     results["elapsed_s"] = round(time.time() - t_start, 1)
     results["ok"] = bool(all_ok)
