@@ -61,6 +61,8 @@ from mc_path_tracer_tpu.ops.wide_bvh import LANES, N_COMP, _META_COMP, WideBVH
 # r3) measured closest 55->48 ms and any-hit 93->82 ms vs 512 (tighter
 # per-block leaf worklists); 128 reverses the gain (per-block fixed costs).
 RAY_BLOCK = 256
+# subgroup width for phase-2 visit pruning (see _make_kernel docstring)
+SUB_BLOCK = 64
 _FAR = 3e37
 
 # leaf rows resident in VMEM: [L, 10, 128] f32 = L * 5 KB.  Budget ~8 MB of
@@ -183,14 +185,24 @@ def _mt_leaf(row, ox, oy, oz, dx, dy, dz):
 
 
 def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
-                 stream: bool = False):
+                 stream: bool = False, sub: int = 64):
+    """Kernel factory.  `sub` is the subgroup width: phase 0 records, per
+    leaf, a bitmask of which `sub`-ray subgroups touch its AABB, and phase 2
+    runs the pair matmul + epilogue only for touching, unresolved subgroups
+    (measured host-side: a 256-ray block's leaf union is ~73 leaves while
+    64-ray subgroup unions are ~31 — most of a visit's lanes are waste).
+    Each subgroup also keeps its own closest-hit bound (tsub) so resolved
+    subgroups stop paying for stragglers; the block-level suffix-min break
+    is unchanged."""
     n_chunks = l_pad // LANES
     nc_pad = -(-n_chunks // 8) * 8
 
     def kernel(rays_ref, rows_ref, base_ref, boxes_ref, out_ref,
-               tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
-               g_mat, best_a, best_b, tblk_sm, *stream_scratch):
+               tn_mat, tn_t, bits_mat, bits_t,
+               flags_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
+               g_mat, best_a, best_b, tblk_sm, tsub_sm, *stream_scratch):
         b = rays_ref.shape[0]
+        n_sub = b // sub
         ox, oy, oz = rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3]
         dx, dy, dz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
         live = rays_ref[:, 6:7] > 0.5
@@ -209,9 +221,10 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         def _phases():
             _kernel_phases(
                 rays_ref, rows_ref, base_ref, boxes_ref,
-                tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
-                g_mat, best_a, best_b, tblk_sm, stream_scratch,
-                ox, oy, oz, dx, dy, dz, live, t_max, b,
+                tn_mat, tn_t, bits_mat, bits_t,
+                flags_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
+                g_mat, best_a, best_b, tblk_sm, tsub_sm, stream_scratch,
+                ox, oy, oz, dx, dy, dz, live, t_max, b, n_sub,
             )
 
         out_ref[:, 0:1] = best_a[:, :]
@@ -221,9 +234,11 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
             )
 
     def _kernel_phases(rays_ref, rows_ref, base_ref, boxes_ref,
-                       tn_mat, tn_t, flags_sm, n_sm, list_sm, tn_sm, suff_sm,
-                       g_mat, best_a, best_b, tblk_sm, stream_scratch,
-                       ox, oy, oz, dx, dy, dz, live, t_max, b):
+                       tn_mat, tn_t, bits_mat, bits_t,
+                       flags_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
+                       g_mat, best_a, best_b, tblk_sm, tsub_sm,
+                       stream_scratch,
+                       ox, oy, oz, dx, dy, dz, live, t_max, b, n_sub):
         eps = 1e-12
         ix = jnp.reciprocal(jnp.where(jnp.abs(dx) > eps, dx,
                                       jnp.where(dx >= 0, eps, -eps)))
@@ -232,9 +247,10 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         iz = jnp.reciprocal(jnp.where(jnp.abs(dz) > eps, dz,
                                       jnp.where(dz >= 0, eps, -eps)))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
 
-        # ---- phase 0: block-min leaf entry distances, 128 leaves at a
-        # time, written to the chunk-row matrix in its natural lane layout
+        # ---- phase 0: block-min leaf entry distances + per-leaf subgroup
+        # bitmasks, 128 leaves at a time, written in natural lane layout
         # (NO per-chunk transposes — a (1,128)->(128,1) relayout spans 16
         # sublane tiles and costs more than the whole slab)
         for c in range(n_chunks):
@@ -259,17 +275,26 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
             n_here = n_leaves - c * LANES
             if n_here < LANES:
                 hit = hit & (lane < n_here)
-            tnb = jnp.min(
-                jnp.where(hit, jnp.maximum(tn, 0.0), _FAR),
-                axis=0, keepdims=True,
-            )                                      # (1, 128)
+            tnm = jnp.where(hit, jnp.maximum(tn, 0.0), _FAR)
+            tnb = jnp.min(tnm, axis=0, keepdims=True)      # (1, 128)
             tn_mat[c:c + 1, :] = tnb
             flags_sm[c] = (jnp.min(tnb) < _FAR).astype(jnp.int32)
+            if n_sub > 1:
+                bits = jnp.zeros((1, LANES), jnp.float32)
+                for s_i in range(n_sub):
+                    hs = jnp.max(
+                        jnp.where(hit[s_i * sub:(s_i + 1) * sub], 1.0, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    bits = bits + hs * float(1 << s_i)
+                bits_mat[c:c + 1, :] = bits
 
         # ONE small (nc_pad, 128) -> (128, nc_pad) transpose makes every
-        # leaf's entry distance scalar-readable (dynamic sublane + static
-        # lane index)
+        # leaf's entry distance (and subgroup bitmask) scalar-readable
+        # (dynamic sublane + static lane index)
         tn_t[:, :] = tn_mat[:, :].T
+        if n_sub > 1:
+            bits_t[:, :] = bits_mat[:, :].T
 
         # ---- phase 1: compact active leaves into the SMEM worklist
         n_sm[0] = 0
@@ -283,6 +308,8 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                     # unconditional write + conditional advance: branch-free
                     list_sm[n] = c * LANES + j
                     tn_sm[n] = tn
+                    if n_sub > 1:
+                        bits_sm[n] = bits_t[j, c].astype(jnp.int32)
                     n_sm[0] = n + (tn < _FAR).astype(jnp.int32)
                     return 0
 
@@ -291,20 +318,18 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         n = n_sm[0]
 
         # ---- phase 2 setup: per-pair Moller-Trumbore as ONE MXU matmul per
-        # visit.  det, u*det, v*det and t*det are all LINEAR in the per-ray
-        # features F = [d, m, o', 1] (m = d x o', o' = o - c re-centred about
-        # the block origin centroid c for conditioning):
+        # subgroup visit.  det, u*det, v*det and t*det are all LINEAR in the
+        # per-ray features F = [d, m, o', 1] (m = d x o', o' = o - c
+        # re-centred about the block origin centroid c for conditioning):
         #     det     = d . n            n = e2 x e1
         #     u*det   = d . (v0' x e2) - m . e2
         #     v*det   = m . e1 - d . (v0' x e1)
         #     t*det   = o' . w - v0' . w w  = e1 x e2
-        # so the [B, 128] pair matrix for one leaf is F[B, 16] @ G[16, 4*128]
-        # (coefficients per output block in the lane dim).  The MXU does in
-        # ~0.3 us what costs ~2 us of VPU element-wise math; only the
-        # compare/reduce epilogue stays on the VPU.  The winning lane's u, v
-        # are NOT extracted here — the host wrapper re-runs exact
-        # single-triangle MT on the winner (intersect_pallas), which keeps
-        # the kernel epilogue lean.  Semantics (cull det >= K_EPSILON,
+        # so the [S, 128] pair matrix for one leaf is F[S, 16] @ G[16, 4*128]
+        # (coefficients per output block in the lane dim).  The winning
+        # lane's u, v are NOT extracted here — the host wrapper re-runs
+        # exact single-triangle MT on the winner (intersect_pallas), which
+        # keeps the epilogue lean.  Semantics (cull det >= K_EPSILON,
         # 0 <= u, 0 <= v, u + v <= 1, t >= 0) match Triangle.cu:19-40.
         # conditioning centroid: LIVE rays only (dead lanes may carry
         # o + K_HUGE*d miss positions ~1e32 which would wreck the mean),
@@ -348,7 +373,27 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
             axis=1,
         )
         g_mat[:, :] = jnp.zeros((16, 4 * LANES), jnp.float32)
-        tblk_sm[0] = K_HUGE
+
+        # per-subgroup state: closest -> max best-t over the subgroup's
+        # live rays (skip/stop bound); any-hit -> 1.0 when every live ray
+        # in the subgroup is occluded (done flag).  Subgroups with no live
+        # rays start resolved, which is the dead-lane fast path at
+        # subgroup granularity.
+        for s_i in range(n_sub):
+            sl_ = slice(s_i * sub, (s_i + 1) * sub)
+            if any_hit:
+                tsub_sm[s_i] = jnp.min(
+                    jnp.where(live[sl_], 0.0, 1.0)
+                )
+            else:
+                tsub_sm[s_i] = jnp.max(
+                    jnp.where(live[sl_], K_HUGE, -1.0)
+                )
+        if not any_hit:
+            tblk = tsub_sm[0]
+            for s_i in range(1, n_sub):
+                tblk = jnp.maximum(tblk, tsub_sm[s_i])
+            tblk_sm[0] = tblk
 
         if stream:
             row_buf, dma_sem = stream_scratch
@@ -400,9 +445,9 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
             g_mat[8:9, 3 * LANES:4 * LANES] = wz
             g_mat[9:10, 3 * LANES:4 * LANES] = -c0
 
-        def _pairs():
+        def _pairs(sl_):
             p = jax.lax.dot_general(
-                feats, g_mat[:, :],
+                feats[sl_], g_mat[:, :],
                 (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
@@ -414,9 +459,17 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
             valid = (
                 (det >= K_EPSILON)
                 & (up >= 0.0) & (vp >= 0.0) & (up + vp <= det)
-                & (tp >= 0.0) & live
+                & (tp >= 0.0) & live[sl_]
             )
             return det, tp, valid
+
+        def _sub_gate(i, s_i):
+            bit_ok = jnp.bool_(True) if n_sub == 1 else (
+                jax.lax.shift_right_logical(bits_sm[i], s_i) & 1
+            ) == 1
+            if any_hit:
+                return bit_ok & (tsub_sm[s_i] < 0.5)
+            return bit_ok & (tn_sm[i] <= tsub_sm[s_i])
 
         if not any_hit:
             # ---- phase 1b: suffix-min of entry distances (break oracle)
@@ -430,8 +483,8 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
 
             jax.lax.fori_loop(0, n, back, jnp.float32(_FAR))
 
-            # ---- phase 2: closest hit over the worklist (best t / id kept
-            # in VMEM scratch, only scalars flow through the while carry)
+            # ---- phase 2: closest hit over the worklist; per-subgroup
+            # visits gated by phase-0 bitmask + the subgroup's own bound
             def body(carry):
                 i, _ = carry
                 if stream:
@@ -450,28 +503,39 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                         _load_g(row_buf[jax.lax.rem(i, 2)])
                     else:
                         _load_g(rows_ref[l])
-                    det, tp, valid = _pairs()
-                    t_best = best_a[:, :]
-                    rcp = jnp.reciprocal(
-                        jnp.where(det >= K_EPSILON, det, 1.0)
-                    )
-                    tt = tp * rcp
-                    tmask = jnp.where(valid & (tt < t_best), tt, K_HUGE)
-                    tb = jnp.min(tmask, axis=1, keepdims=True)
-                    is_min = (tmask <= tb) & (tmask < K_HUGE)
-                    first = jnp.min(
-                        jnp.where(is_min, lane, LANES), axis=1, keepdims=True
-                    )
-                    closer = tb < t_best
-                    best_a[:, :] = jnp.where(closer, tb, t_best)
-                    best_b[:, :] = jnp.where(
-                        closer,
-                        base_ref[l, 0] + first.astype(jnp.float32),
-                        best_b[:, :],
-                    )
-                    tblk_sm[0] = jnp.max(
-                        jnp.where(live, best_a[:, :], -1.0)
-                    )
+                    for s_i in range(n_sub):
+                        @pl.when(_sub_gate(i, s_i))
+                        def _sub(s_i=s_i):
+                            sl_ = slice(s_i * sub, (s_i + 1) * sub)
+                            det, tp, valid = _pairs(sl_)
+                            t_best = best_a[sl_, :]
+                            rcp = jnp.reciprocal(
+                                jnp.where(det >= K_EPSILON, det, 1.0)
+                            )
+                            tt = tp * rcp
+                            tmask = jnp.where(
+                                valid & (tt < t_best), tt, K_HUGE
+                            )
+                            tb = jnp.min(tmask, axis=1, keepdims=True)
+                            is_min = (tmask <= tb) & (tmask < K_HUGE)
+                            first = jnp.min(
+                                jnp.where(is_min, lane_s, LANES),
+                                axis=1, keepdims=True,
+                            )
+                            closer = tb < t_best
+                            best_a[sl_, :] = jnp.where(closer, tb, t_best)
+                            best_b[sl_, :] = jnp.where(
+                                closer,
+                                base_ref[l, 0] + first.astype(jnp.float32),
+                                best_b[sl_, :],
+                            )
+                            tsub_sm[s_i] = jnp.max(
+                                jnp.where(live[sl_], best_a[sl_, :], -1.0)
+                            )
+                    tblk = tsub_sm[0]
+                    for s_i in range(1, n_sub):
+                        tblk = jnp.maximum(tblk, tsub_sm[s_i])
+                    tblk_sm[0] = tblk
 
                 stop = suff_sm[i + 1] > tblk_sm[0]
                 return i + 1, stop
@@ -491,8 +555,9 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                 def _drain():
                     _row_dma(final_i).wait()
         else:
-            # ---- phase 2: any hit over the worklist (early exit when every
-            # live ray is occluded; occlusion kept in VMEM scratch)
+            # ---- phase 2: any hit over the worklist; per-subgroup visits
+            # gated by phase-0 bitmask + the subgroup's done flag; exit
+            # when every subgroup is fully occluded
             def body(carry):
                 i, _ = carry
                 if stream:
@@ -504,14 +569,26 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                     _load_g(row_buf[jax.lax.rem(i, 2)])
                 else:
                     _load_g(rows_ref[list_sm[i]])
-                det, tp, valid = _pairs()
-                valid = valid & (tp <= t_max * det)
-                hit_here = jnp.max(
-                    jnp.where(valid, 1.0, 0.0), axis=1, keepdims=True
-                )
-                best_a[:, :] = jnp.maximum(best_a[:, :], hit_here)
-                stop = jnp.min(jnp.where(live, best_a[:, :], 1.0)) >= 0.5
-                return i + 1, stop
+                for s_i in range(n_sub):
+                    @pl.when(_sub_gate(i, s_i))
+                    def _sub(s_i=s_i):
+                        sl_ = slice(s_i * sub, (s_i + 1) * sub)
+                        det, tp, valid = _pairs(sl_)
+                        valid = valid & (tp <= t_max[sl_] * det)
+                        hit_here = jnp.max(
+                            jnp.where(valid, 1.0, 0.0),
+                            axis=1, keepdims=True,
+                        )
+                        best_a[sl_, :] = jnp.maximum(
+                            best_a[sl_, :], hit_here
+                        )
+                        tsub_sm[s_i] = jnp.min(
+                            jnp.where(live[sl_], best_a[sl_, :], 1.0)
+                        )
+                done = tsub_sm[0]
+                for s_i in range(1, n_sub):
+                    done = jnp.minimum(done, tsub_sm[s_i])
+                return i + 1, done >= 0.5
 
             if stream:
                 @pl.when(n > 0)
@@ -588,7 +665,8 @@ def _pack_rays(ro, rd, mask, t_max, r_pad):
 
 
 def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
-              block: int = RAY_BLOCK, stream: bool | None = None):
+              block: int = RAY_BLOCK, stream: bool | None = None,
+              sub: int = SUB_BLOCK):
     r = ro.shape[0]
     r_pad = -(-r // block) * block
     packed = _pack_rays(ro, rd, mask, t_max, r_pad)
@@ -597,7 +675,10 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
     n_chunks = l_pad // LANES
     if stream is None:
         stream = table.num_leaves > MAX_LEAVES
-    kernel = _make_kernel(any_hit, table.num_leaves, l_pad, stream=stream)
+    assert block % sub == 0
+    n_sub = block // sub
+    kernel = _make_kernel(any_hit, table.num_leaves, l_pad, stream=stream,
+                          sub=sub)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
@@ -616,15 +697,19 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
         scratch_shapes=[
             pltpu.VMEM((-(-n_chunks // 8) * 8, LANES), jnp.float32),  # tn_mat
             pltpu.VMEM((LANES, -(-n_chunks // 8) * 8), jnp.float32),  # tn_t
+            pltpu.VMEM((-(-n_chunks // 8) * 8, LANES), jnp.float32),  # bits
+            pltpu.VMEM((LANES, -(-n_chunks // 8) * 8), jnp.float32),  # bits_t
             pltpu.SMEM((n_chunks,), jnp.int32),      # flags
             pltpu.SMEM((8,), jnp.int32),             # n
             pltpu.SMEM((l_pad + 8,), jnp.int32),     # worklist
             pltpu.SMEM((l_pad + 8,), jnp.float32),   # entry distances
             pltpu.SMEM((l_pad + 8,), jnp.float32),   # suffix minima
+            pltpu.SMEM((l_pad + 8,), jnp.int32),     # subgroup bitmasks
             pltpu.VMEM((16, 4 * LANES), jnp.float32),   # G coefficients
             pltpu.VMEM((block, 1), jnp.float32),        # best t / occ
             pltpu.VMEM((block, 1), jnp.float32),        # best tri id
             pltpu.SMEM((1,), jnp.float32),              # block max-best t
+            pltpu.SMEM((n_sub,), jnp.float32),          # per-subgroup bound
         ] + ([
             pltpu.VMEM((2, N_COMP, LANES), jnp.float32),  # DMA row ring
             pltpu.SemaphoreType.DMA((2,)),
