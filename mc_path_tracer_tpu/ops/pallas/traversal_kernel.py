@@ -57,10 +57,13 @@ from mc_path_tracer_tpu.ops.intersect import (
 from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE
 from mc_path_tracer_tpu.ops.wide_bvh import LANES, N_COMP, _META_COMP, WideBVH
 
-# 256-ray traversal blocks: A/B on incoherent bounce rays (tools/ab_block.py,
-# r3) measured closest 55->48 ms and any-hit 93->82 ms vs 512 (tighter
-# per-block leaf worklists); 128 reverses the gain (per-block fixed costs).
-RAY_BLOCK = 256
+# 1024-ray blocks of 16 x 64-ray subgroups: with per-subgroup visit pruning
+# the big outer block amortizes phase 0/1 and G-loads while subgroups keep
+# the MT work tight.  A/B on incoherent bounce rays (tools/ab_block.py, r3):
+# closest 48.0 (256/256) -> 37.8 (256/64) -> 32.2 (512/64) -> 29.4 ms
+# (1024/64); any-hit 82.5 -> 54.2 ms.  16 subgroups is also the exactness
+# cap for the f32 bitmask rows (sums of 2^s stay integer-exact < 2^24).
+RAY_BLOCK = 1024
 # subgroup width for phase-2 visit pruning (see _make_kernel docstring)
 SUB_BLOCK = 64
 _FAR = 3e37
@@ -677,6 +680,9 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
         stream = table.num_leaves > MAX_LEAVES
     assert block % sub == 0
     n_sub = block // sub
+    # f32 bitmask rows hold sums of 2^s exactly only below the 24-bit
+    # mantissa; 16 subgroups max keeps them integer-exact
+    assert n_sub <= 16
     kernel = _make_kernel(any_hit, table.num_leaves, l_pad, stream=stream,
                           sub=sub)
     out = pl.pallas_call(
