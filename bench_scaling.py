@@ -111,7 +111,9 @@ def main(write_path="SCALING_r03.json"):
     for f in ("BENCH_r03.json", "BENCH_r02.json"):
         try:
             with open(f) as fh:
-                chip_mrays = json.load(fh)["value"]
+                d = json.load(fh)
+                # driver BENCH files wrap the bench line under "parsed"
+                chip_mrays = d.get("parsed", d)["value"]
                 src = f
                 break
         except Exception:
