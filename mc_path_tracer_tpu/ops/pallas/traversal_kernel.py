@@ -68,9 +68,14 @@ RAY_BLOCK = 1024
 SUB_BLOCK = 64
 _FAR = 3e37
 
-# leaf rows resident in VMEM: [L, 10, 128] f32 = L * 5 KB.  Budget ~8 MB of
-# the ~16 MB VMEM for the table (the rest: ray blocks, work arrays, lists).
-LEAF_VMEM_LIMIT = 8 * 1024 * 1024
+# leaf rows resident in VMEM: [L, 10, 128] f32 = L * 5 KB.  Budget 4 MB of
+# the 16 MB VMEM for the table — the kernel's other residents (boxes, ray
+# blocks, tn/bits matrices, pair buffers, double-buffered I/O staging) plus
+# XLA's own scoped allocations need the rest: an 8 MB table (1093-leaf
+# config5 scene) compiled to a 17.1 MB scoped allocation and OOMed the
+# chip, and a 591-leaf table at a 2048-ray block hit 16.36 MB.  Tables
+# over this stream rows from HBM (MAX_LEAVES_STREAM).
+LEAF_VMEM_LIMIT = 3 * 1024 * 1024
 MAX_LEAVES = LEAF_VMEM_LIMIT // (N_COMP * LANES * 4)
 
 # beyond the VMEM budget the rows stay in HBM and phase 2 double-buffers
@@ -633,7 +638,7 @@ def _dir_bins(rd, fine: bool):
     return octant * 16 + u * 4 + v, 128
 
 
-def _sort_perm(rd, mask, fine: bool = False):
+def _sort_perm(rd, mask, fine: bool = False, block: int | None = None):
     """Stable permutation grouping lanes by direction bin, dead lanes
     last.  Stability preserves the caller's tile-major order inside each
     bin, so sorted blocks are direction-coherent AND origin-tight —
@@ -649,6 +654,16 @@ def _sort_perm(rd, mask, fine: bool = False):
     bins, nb = _dir_bins(rd, fine)
     key = bins if mask is None else jnp.where(mask, bins, nb)
     perm = jnp.argsort(key, stable=True)
+    if block is not None and rd.shape[0] > block:
+        # secondary BLOCK-LOCAL fine-direction ordering: re-sorting within
+        # each block aligns the 64-ray subgroups to tight direction cones
+        # (subgroup bitmask pruning turns intra-block order into real
+        # skipped visits) without moving rays across blocks — the failure
+        # mode that made a *global* fine sort lose (origins fragment).
+        fbins, fnb = _dir_bins(rd[perm], True)
+        blk = jnp.arange(perm.shape[0], dtype=jnp.int32) // block
+        perm2 = jnp.argsort(blk * (fnb + 1) + fbins, stable=True)
+        perm = perm[perm2]
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype)
     )
@@ -749,7 +764,7 @@ def intersect_pallas(
     lanes (see _sort_perm) and unsorts only (t, tri_id) — two [R] gathers —
     before the exact winner recompute, which runs in caller order."""
     if sort:
-        perm, inv = _sort_perm(ray_d, mask)
+        perm, inv = _sort_perm(ray_d, mask, block=RAY_BLOCK)
         t_s, id_s = _traverse(
             table, ray_o[perm], ray_d[perm], False,
             None if mask is None else mask[perm], None, interpret,
@@ -780,7 +795,7 @@ def occluded_pallas(
 ) -> jnp.ndarray:
     """Any-hit traversal (reference intersect_shadows, Triangle.cu:204-248)."""
     if sort:
-        perm, inv = _sort_perm(ray_d, mask)
+        perm, inv = _sort_perm(ray_d, mask, block=RAY_BLOCK)
         occ = _traverse(
             table, ray_o[perm], ray_d[perm], True,
             None if mask is None else mask[perm],

@@ -105,32 +105,32 @@ def main():
         return i.astype(jnp.float32) * 1e-5
 
     table = sd.leaf
-    CONFIGS = ((256, 256), (256, 64), (512, 64), (1024, 64), (512, 128))
-    for blk, sb in CONFIGS:
-            def closest(c, i, blk=blk, sb=sb):
+    CONFIGS = ((1024, 64, False), (1024, 64, True), (2048, 128, True))
+    for blk, sb, ls in CONFIGS:
+            def closest(c, i, blk=blk, sb=sb, ls=ls):
                 o, d, m = bo + j(i), bd, live
-                perm, inv = _sort_perm(d, m)
+                perm, inv = _sort_perm(d, m, block=blk if ls else None)
                 t, _ = _traverse(table, o[perm], d[perm], False,
                                  m[perm], None, False, block=blk, sub=sb)
                 return c + jnp.sum(t[inv].clip(0, 1e6)) * 1e-9
 
             t = scan_time(closest)
-            log(f"closest blk={blk:4d} sub={sb:3d}  {t*1e3:8.2f} ms")
+            log(f"closest blk={blk:4d} sub={sb:3d} lsort={int(ls)} {t*1e3:8.2f} ms")
 
     # any-hit on the 128k fused-style mix
     sh = jnp.concatenate([bd, -bd], axis=0)
     so = jnp.concatenate([bo, bo], axis=0)
     sl = jnp.concatenate([live, live], axis=0)
-    for blk, sb in CONFIGS:
-            def anyhit(c, i, blk=blk, sb=sb):
+    for blk, sb, ls in CONFIGS:
+            def anyhit(c, i, blk=blk, sb=sb, ls=ls):
                 o, d, m = so + j(i), sh, sl
-                perm, inv = _sort_perm(d, m)
+                perm, inv = _sort_perm(d, m, block=blk if ls else None)
                 occ = _traverse(table, o[perm], d[perm], True,
                                 m[perm], None, False, block=blk, sub=sb)
                 return c + jnp.sum(occ[inv].astype(jnp.float32)) * 1e-9
 
             t = scan_time(anyhit)
-            log(f"anyhit  blk={blk:4d} sub={sb:3d}  {t*1e3:8.2f} ms")
+            log(f"anyhit  blk={blk:4d} sub={sb:3d} lsort={int(ls)} {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
