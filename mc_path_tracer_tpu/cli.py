@@ -43,6 +43,10 @@ def build_argparser():
                    help="replicate reference estimator quirks (SURVEY.md §7)")
     p.add_argument("--out", default="render.png")
     p.add_argument("--out-hdr", help="also save linear radiance as .npy")
+    p.add_argument("--interactive", action="store_true",
+                   help="live terminal viewer: wasdeq move, arrows look, "
+                        "x quits (progressive restart on every move)")
+    p.add_argument("--interactive-seconds", type=float, default=120.0)
     return p
 
 
@@ -92,6 +96,25 @@ def main(argv=None):
     )
     cfg = RenderConfig(spp=args.spp, max_depth=args.depth,
                        reference_quirks=args.quirks)
+
+    if args.interactive:
+        from mc_path_tracer_tpu.models.interactive import (
+            FlyCamera,
+            InteractiveViewer,
+        )
+
+        pos = _vec(args.camera).astype(np.float64)
+        look = _vec(args.target).astype(np.float64) - pos
+        look /= max(np.linalg.norm(look), 1e-8)
+        fly = FlyCamera(
+            position=pos, fov_deg=args.fov,
+            yaw_deg=float(np.degrees(np.arctan2(look[2], look[0]))),
+            pitch_deg=float(np.degrees(np.arcsin(np.clip(look[1], -1, 1)))),
+        )
+        viewer = InteractiveViewer(scene, width=width, height=height,
+                                   cfg=cfg, fly=fly)
+        viewer.run_tty(max_seconds=args.interactive_seconds)
+        return 0
 
     t0 = time.time()
     film = RenderEngine().render(
