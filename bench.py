@@ -2,11 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Ray accounting: with depth D the integrator traces, per pixel per sample,
-1 camera ray + (D-2) extension rays (closest-hit) and 2*(D-1) shadow/
-visibility rays (any-hit) = 12 rays at D=5 — matching the reference's
-wavefront work per path (extend + shadow + inline visibility,
-wavefront_kernels.cu:253-293, 333-336).
+Ray accounting (REFERENCE-EQUIVALENT WORK): per pixel per sample the
+reference's wavefront traces 1 camera ray + (D-2) extension rays
+(closest-hit) and 2*(D-1) shadow/visibility rays (any-hit) = 12 rays at
+D=5 (extend + shadow + inline visibility, wavefront_kernels.cu:253-293,
+333-336).  Since r4 the default estimator shares one mixture sample
+between the brdf-MIS estimator and the path continuation
+(RenderConfig.reuse_brdf_ray), so the SAME 250-spp MIS image needs only
+2D-1 = 9 traced rays per sample.  The metric counts the reference's 12 —
+it measures delivered sampling work per second, stays comparable across
+rounds and against the anchor, and does not reward simply tracing more
+rays.  The log line also reports actually-traced rays/s.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 We anchor against 100 Mrays/s — a conservative figure for an sm_86-class
@@ -146,7 +152,9 @@ def main():
     # Block costs are bimodal (sky vs geometry), so the frame estimate uses
     # the MEAN — but tunnel hiccups (r3: one 11.4 s stall on an otherwise
     # 0.2 s sky block skewed a run 2.2x) are excluded first: any block
-    # > 3x the median is re-measured once, and the better time is kept.
+    # > 3x the median is re-measured once and the RE-MEASURED time is kept
+    # (taking the min of the two would bias the report optimistically —
+    # normal blocks only ever get one sample).
     med = float(np.median(deltas))
     for k, d in enumerate(deltas):
         if d > 3.0 * med:
@@ -159,14 +167,18 @@ def main():
                 scene_data, cam, px, py, kc, cfg, width, height, spp))
             redo = time.perf_counter() - t1
             log(f"block {c} re-measured: {d:.2f}s -> {redo:.2f}s")
-            deltas[k] = min(d, redo)
+            deltas[k] = redo
     dt_block = float(np.mean(deltas))
     frame_s = float(np.sum(deltas)) if args.full_frame else dt_block * n_blocks
 
-    rays_per_sample = 1 + (depth - 2) + 2 * (depth - 1)
+    rays_per_sample = 1 + (depth - 2) + 2 * (depth - 1)  # reference work
+    traced_per_sample = 2 * depth - 1                    # with ray sharing
     total_rays = width * height * spp * rays_per_sample
     mrays = total_rays / frame_s / 1e6
     log(f"steady block: {dt_block*1e3:.1f} ms; frame ({n_blocks} blocks): {frame_s:.2f}s")
+    log(f"samples/s: {width*height*spp/frame_s/1e6:.2f} M; traced rays/s: "
+        f"{width*height*spp*traced_per_sample/frame_s/1e6:.2f} M "
+        f"({traced_per_sample}/sample vs reference {rays_per_sample})")
     print(
         json.dumps(
             {

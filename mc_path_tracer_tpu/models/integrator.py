@@ -96,6 +96,14 @@ class RenderConfig:
     # 81 -> 56 ms on a 64k incoherent closest-hit; ~0.5 ms overhead).  The
     # estimator is unaffected: sorting permutes kernel lanes only.
     sort_rays: bool = True
+    # Share one mixture sample between the brdf-sample MIS estimator and the
+    # path-continuation ray: the extension intersect then doubles as the
+    # brdf ray's visibility/emitter query, deleting one traversal dispatch
+    # and one sample_wi + f + pdf evaluation per bounce (the standard
+    # hit-emitter MIS formulation; still unbiased — the reference instead
+    # draws an independent wb and traces it separately, mat_mix:331-345).
+    # Ignored under reference_quirks, which keeps the two-sample estimator.
+    reuse_brdf_ray: bool = True
 
 
 def _on_tpu() -> bool:
@@ -278,7 +286,56 @@ def trace_radiance(
         )
 
         # ---- brdf-sample estimator (mat_mix:331-345), non-delta lights ----
-        wb = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 3], u[:, 4:6]))
+        # Default (reuse_brdf_ray): ONE mixture sample ws serves both the
+        # brdf-sample MIS estimator and the path continuation — the
+        # extension intersect answers the estimator's visibility/emitter
+        # query, so each bounce dispatches one closest-hit + one R-lane
+        # shadow any-hit instead of closest + 2R-lane fused any-hit.  Only
+        # the last NEE bounce (no extension follows) pays a dedicated
+        # visibility lane set.  Quirk mode draws the reference's
+        # independent wb instead.
+        reuse = cfg.reuse_brdf_ray and not cfg.reference_quirks
+        last = bounce == cfg.max_depth - 1
+        isect_next = None
+        if reuse:
+            ws = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 6], u[:, 7:9]))
+            wb = ws
+            ext_o = pos + n * EXT_OFFSET
+        else:
+            ws = None
+            wb = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 3], u[:, 4:6]))
+            ext_o = None
+        f_at_wb = brdf.mixture_f(mat, n, wb, wo)
+        pdf_at_wb = sg(brdf.mixture_pdf(mat, n, wb, wo))
+        if reuse and not last:
+            # Continuation throughput + Russian roulette BEFORE the shared
+            # trace: RR now gambles the bounce's brdf-estimator term along
+            # with the continuation — survivors carry 1/(1-q), killed lanes
+            # skip the (expensive, closest-hit) extension entirely, so the
+            # trace runs at post-RR occupancy exactly like the reference's
+            # wf_extend after wf_logic termination (logic:189-196, 253-272).
+            # Unbiased: E[term * survive / (1-q)] = E[term].  Zero-f / zero-
+            # pdf lanes terminate (logic:183-186) and trace nothing.
+            cont_ok_r = (pdf_at_wb > 0.0) & jnp.any(
+                sg(f_at_wb) != 0.0, axis=-1
+            )
+            beta_next = jnp.where(
+                alive[..., None],
+                beta * f_at_wb / jnp.maximum(pdf_at_wb, 1e-20)[..., None],
+                beta,
+            )
+            surv = alive & cont_ok_r
+            if bounce >= cfg.rr_start:
+                q = jnp.maximum(RR_MIN_Q, 1.0 - sg(beta_next[:, 1]))
+                surv = surv & ~(u[:, 9] < q)
+                beta_next = beta_next / jnp.maximum(
+                    1.0 - sg(q), RR_MIN_Q
+                )[..., None]
+            ext_mask = surv
+        else:
+            beta_next = None
+            surv = alive
+            ext_mask = alive
         if aid >= 0:
             # area lights need the closest hit of the brdf ray (did it reach
             # the emissive surface?); env visibility falls out of the same
@@ -288,16 +345,20 @@ def trace_radiance(
                            t_max=shadow_tmax)
                 & alive
             )
+            vis_o = ext_o if reuse else pos + wb * VIS_OFFSET
             hit_b = jax.tree.map(
                 sg,
-                _intersect(scene, cfg, pos + wb * VIS_OFFSET, wb,
-                           mask=alive & ~delta),
+                _intersect(scene, cfg, vis_o, wb,
+                           mask=ext_mask if reuse and not last
+                           else alive & ~delta),
             )
+            if reuse and not last:
+                isect_next = hit_b
             li_hit, pdf_sa_hit, on_light = lights_mod.area_eval_hit(
-                lights.area, scene.tris, hit_b, pos + wb * VIS_OFFSET
+                lights.area, scene.tris, hit_b, vis_o
             )
             is_area = l_id == aid
-            vis2 = jnp.where(is_area, on_light, ~hit_b.hit) & ~delta & alive
+            vis2 = jnp.where(is_area, on_light, ~hit_b.hit) & ~delta & surv
             li_brdf_raw = jnp.where(
                 is_area[..., None], li_hit,
                 lights_mod.radiance(lights, l_id, wb),
@@ -305,14 +366,27 @@ def trace_radiance(
             pdf_l_at_wb_raw = jnp.where(
                 is_area, sg(pdf_sa_hit), lights_mod.pdf(lights, l_id, wb)
             )
+        elif reuse and not last:
+            # shadow any-hit only (R lanes); the extension closest-hit below
+            # doubles as the brdf-sample visibility query (miss == the env
+            # light is visible along ws)
+            occ = _occluded(scene, cfg, shadow_o, wl, mask=alive)
+            visible = ~occ & alive
+            isect_next = jax.tree.map(
+                sg, _intersect(scene, cfg, ext_o, wb, mask=ext_mask)
+            )
+            vis2 = ~isect_next.hit & ~delta & surv
+            li_brdf_raw = lights_mod.radiance(lights, l_id, wb)
+            pdf_l_at_wb_raw = lights_mod.pdf(lights, l_id, wb)
         else:
             # one fused any-hit dispatch for BOTH the shadow ray (light
             # sample) and the brdf-sample visibility ray: 2R-lane gathers
             # are ~30% cheaper per row and the per-dispatch fixed cost is
             # paid once (wf_shadow + the mat_mix inline test, fused)
+            vis_o = ext_o if reuse else pos + wb * VIS_OFFSET
             occ2 = _occluded(
                 scene, cfg,
-                jnp.concatenate([shadow_o, pos + wb * VIS_OFFSET], axis=0),
+                jnp.concatenate([shadow_o, vis_o], axis=0),
                 jnp.concatenate([wl, wb], axis=0),
                 mask=jnp.concatenate([alive, alive & ~delta], axis=0),
             )
@@ -320,9 +394,9 @@ def trace_radiance(
             vis2 = ~occ2[num_rays:] & ~delta & alive
             li_brdf_raw = lights_mod.radiance(lights, l_id, wb)
             pdf_l_at_wb_raw = lights_mod.pdf(lights, l_id, wb)
-        f_brdf = jnp.where(vis2[..., None], brdf.mixture_f(mat, n, wb, wo), 0.0)
+        f_brdf = jnp.where(vis2[..., None], f_at_wb, 0.0)
         li_brdf = jnp.where(vis2[..., None], li_brdf_raw, 0.0)
-        pdf_brdf = sg(jnp.where(vis2, brdf.mixture_pdf(mat, n, wb, wo), 1.0))
+        pdf_brdf = sg(jnp.where(vis2, pdf_at_wb, 1.0))
         pdf_light_at_wb = sg(jnp.where(vis2, pdf_l_at_wb_raw, 1.0))
 
         # ---- MIS combine (logic:169-180) ----
@@ -340,43 +414,71 @@ def trace_radiance(
             f_light * li_light * (w1 / jnp.maximum(pdf_light, 1e-20))[..., None],
             0.0,
         )
-        ld = ld + jnp.where(
-            (vis2 & (pdf_brdf > 0.0) & (w2 > 0.0))[..., None],
-            f_brdf * li_brdf * (w2 / jnp.maximum(pdf_brdf, 1e-20))[..., None],
-            0.0,
-        )
+        if reuse and not last:
+            # brdf term folded as beta_next * Li * w2: beta_next already
+            # carries f_s/pdf_s and the RR survivor reweight (see above);
+            # vis2 implies survival + pdf > 0
+            ld_brdf = jnp.where(
+                (vis2 & (w2 > 0.0))[..., None],
+                beta_next * li_brdf * w2[..., None],
+                0.0,
+            )
+        else:
+            ld = ld + jnp.where(
+                (vis2 & (pdf_brdf > 0.0) & (w2 > 0.0))[..., None],
+                f_brdf * li_brdf
+                * (w2 / jnp.maximum(pdf_brdf, 1e-20))[..., None],
+                0.0,
+            )
+            ld_brdf = None
         if not cfg.reference_quirks:
             ld = ld * float(n_lights)  # uniform-selection compensation (fixed bug)
+            if ld_brdf is not None:
+                ld_brdf = ld_brdf * float(n_lights)
         l_out = l_out + jnp.where(alive[..., None], beta * ld, 0.0)
+        if ld_brdf is not None:
+            l_out = l_out + ld_brdf
 
-        # ---- path continuation sample (mat_mix:347-371, logic:183-187) ----
-        ws = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 6], u[:, 7:9]))
-        pdf_s = sg(brdf.mixture_pdf(mat, n, ws, wo))
-        f_s = brdf.mixture_f(mat, n, ws, wo)
-        cont_ok = (pdf_s > 0.0) & jnp.any(sg(f_s) != 0.0, axis=-1)
-        beta = jnp.where(
-            alive[..., None],
-            beta * f_s / jnp.maximum(pdf_s, 1e-20)[..., None],
-            beta,
-        )
-        alive = alive & cont_ok
+        # ---- path continuation sample (mat_mix:347-371, logic:183-187)
+        # (reuse mode already advanced beta/alive before the trace)
+        if reuse and not last:
+            beta = beta_next
+            alive = surv
+        else:
+            if reuse:
+                pdf_s, f_s = pdf_at_wb, f_at_wb   # shared sample (ws == wb)
+            else:
+                ws = sg(brdf.mixture_sample_wi(mat, n, wo, u[:, 6], u[:, 7:9]))
+                pdf_s = sg(brdf.mixture_pdf(mat, n, ws, wo))
+                f_s = brdf.mixture_f(mat, n, ws, wo)
+            cont_ok = (pdf_s > 0.0) & jnp.any(sg(f_s) != 0.0, axis=-1)
+            beta = jnp.where(
+                alive[..., None],
+                beta * f_s / jnp.maximum(pdf_s, 1e-20)[..., None],
+                beta,
+            )
+            alive = alive & cont_ok
 
-        # ---- Russian roulette (logic:189-196; fixed survivor division) ----
-        if bounce >= cfg.rr_start:
-            q = jnp.maximum(RR_MIN_Q, 1.0 - sg(beta[:, 1]))
-            kill = u[:, 9] < q
-            alive = alive & ~kill
-            if not cfg.reference_quirks:
-                beta = beta / jnp.maximum(1.0 - sg(q), RR_MIN_Q)[..., None]
+            # ---- Russian roulette (logic:189-196; fixed survivor div) ----
+            if bounce >= cfg.rr_start:
+                q = jnp.maximum(RR_MIN_Q, 1.0 - sg(beta[:, 1]))
+                kill = u[:, 9] < q
+                alive = alive & ~kill
+                if not cfg.reference_quirks:
+                    beta = beta / jnp.maximum(1.0 - sg(q), RR_MIN_Q)[..., None]
 
         # ---- extension (wf_extend), only if another NEE bounce follows ----
         if bounce < cfg.max_depth - 1:
-            ray_o = pos + n * EXT_OFFSET
             ray_d = ws
             wo = -ray_d
-            isect = jax.tree.map(
-                sg, _intersect(scene, cfg, ray_o, ray_d, mask=alive)
-            )
+            if isect_next is not None:
+                isect = isect_next   # reuse: already traced above
+            else:
+                isect = jax.tree.map(
+                    sg,
+                    _intersect(scene, cfg, pos + n * EXT_OFFSET, ray_d,
+                               mask=alive),
+                )
             alive = alive & isect.hit
 
     return l_out

@@ -214,8 +214,9 @@ class InteractiveViewer:
             moved |= self.fly.process_keyboard(k, dt)
         moved |= self.fly.process_mouse(*mouse)
         if moved:
-            # camera edits restart accumulation: Subject::notify -> clear
-            self.scene.notify()
+            # camera edits restart accumulation WITHOUT a scene rebuild:
+            # Subject::notify -> Film clear only (Camera.cu:226-232)
+            self.scene.notify(content=False)
             self.session.camera = self._camera()
         return moved
 
@@ -251,7 +252,12 @@ class InteractiveViewer:
                     if ch == "x":
                         return
                     if ch == "\x1b":          # arrow keys -> mouse look
-                        seq = sys.stdin.read(2)
+                        # a lone ESC has no continuation bytes: poll before
+                        # reading so it is a no-op instead of a stdin block
+                        seq = ""
+                        while (len(seq) < 2
+                               and select.select([sys.stdin], [], [], 0)[0]):
+                            seq += sys.stdin.read(1)
                         look = {"[A": (0, 40), "[B": (0, -40),
                                 "[C": (40, 0), "[D": (-40, 0)}.get(seq)
                         if look:

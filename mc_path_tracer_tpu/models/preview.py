@@ -67,6 +67,56 @@ def _env_basis(h: int, w: int):
     return dirs, d_omega
 
 
+# specular prefilter source resolution: finer than the irradiance grid so
+# low-roughness lobes keep some sharpness (the reference's prefilter mip
+# chain spans 128^2-face mips down to 8^2, EnvironmentLight.cu:219-243)
+_SPEC_H, _SPEC_W = 32, 64
+
+
+def _prefiltered_spec(env: lights_mod.EnvLight, refl: jnp.ndarray,
+                      roughness: jnp.ndarray) -> jnp.ndarray:
+    """Prefiltered environment radiance along the reflection vector.
+
+    The reference bakes GGX-importance-sampled mips of the env cubemap and
+    the lighting pass reads textureLod(prefilterMap, R, r*MAX_LOD)
+    (EnvironmentLight.cu:219-243 + prefilter.fs, lightingPass_fs.glsl).
+    TPU-native equivalent: evaluate the cone convolution directly on the
+    MXU with a per-pixel cosine-power kernel over a downsampled env grid —
+    w = max(R.w_t, 0)^s with the standard s = 2/alpha^2 - 2 Phong-lobe
+    match (alpha = r^2), normalized by its own grid integral:
+        spec(R) = (w @ L dOmega) / (w @ dOmega).
+    Near-mirror lobes out-resolve the grid, so below r=0.15 the result
+    blends toward the exact equirect lookup (mip-0 behavior)."""
+    if not lights_mod.env_is_hdri(env):
+        return jnp.broadcast_to(env.color * env.ls, refl.shape)
+    tex = jax.image.resize(env.tex, (_SPEC_H, _SPEC_W, 3), "linear")
+    dirs, d_omega = _env_basis(_SPEC_H, _SPEC_W)
+    alpha2 = jnp.maximum(roughness, 0.04) ** 4
+    s = jnp.clip(2.0 / alpha2 - 2.0, 1.0, 2048.0)[:, None]      # [R, 1]
+    cos = jnp.maximum(refl @ dirs.T, 1e-6)                       # [R, T]
+    w = cos ** s
+    num = w @ (tex.reshape(-1, 3) * d_omega[:, None])            # [R, 3]
+    den = (w @ d_omega[:, None]) + 1e-20                         # [R, 1]
+    filtered = num / den
+    exact = envmap.radiance(env.tex, refl)
+    mirror = jnp.clip(roughness / 0.15, 0.0, 1.0)[:, None]
+    return filtered * mirror + exact * (1.0 - mirror)
+
+
+def _env_brdf_ab(n_dot_v: jnp.ndarray, roughness: jnp.ndarray):
+    """Split-sum BRDF LUT, analytic fit (Karis/Lazarov "Environment BRDF"
+    approximation) standing in for the reference's baked brdfLUT.fs texture
+    (EnvironmentLight.cu:245-264): returns (A, B) with
+    specular = prefiltered * (F0 * A + B)."""
+    # vec4 c0 = (-1, -0.0275, -0.572, 0.022); c1 = (1, 0.0425, 1.04, -0.04)
+    rx = roughness * -1.0 + 1.0
+    ry = roughness * -0.0275 + 0.0425
+    rz = roughness * -0.572 + 1.04
+    rw = roughness * 0.022 - 0.04
+    a004 = jnp.minimum(rx * rx, jnp.exp2(-9.28 * n_dot_v)) * rx + ry
+    return a004 * -1.04 + rz, a004 * 1.04 + rw
+
+
 def _irradiance(env: lights_mod.EnvLight, n: jnp.ndarray) -> jnp.ndarray:
     """Diffuse IBL term E(n)/pi per shading normal.
 
@@ -173,8 +223,25 @@ def _preview(scene: SceneData, cam, width: int, height: int, mode: str):
             direct = direct + jnp.where(vis[..., None], f * li, 0.0)
         ao = scene.materials.ambient_occlusion(hit.material_id, hit.uv,
                                                scene.atlas)
-        ambient = _irradiance(lights.env, n) * mat.albedo * (
-            1.0 - mat.metallic[..., None]
+        # IBL ambient = kD * irradiance * albedo + specular split-sum, as
+        # the reference's lighting pass (lightingPass_fs.glsl: F via
+        # fresnelSchlickRoughness, kD = (1-F)(1-metallic), specular =
+        # prefiltered(R, r) * (F0 * brdfLUT.A + brdfLUT.B), all * ao)
+        n_dot_v = jnp.maximum(jnp.sum(n * wo, axis=-1), 0.0)
+        f0 = mat.f0
+        f_rough = f0 + (
+            jnp.maximum(1.0 - mat.roughness[..., None], f0) - f0
+        ) * (1.0 - n_dot_v[..., None]) ** 5
+        k_d = (1.0 - f_rough) * (1.0 - mat.metallic[..., None])
+        refl = 2.0 * n_dot_v[..., None] * n - wo
+        refl = refl / jnp.maximum(
+            jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-8
+        )
+        pre = _prefiltered_spec(lights.env, refl, mat.roughness)
+        ab_a, ab_b = _env_brdf_ab(n_dot_v, mat.roughness)
+        spec = pre * (f0 * ab_a[..., None] + ab_b[..., None])
+        ambient = (
+            k_d * _irradiance(lights.env, n) * mat.albedo + spec
         ) * ao[..., None]
         bg = (
             envmap.radiance(lights.env.tex, rd)

@@ -213,11 +213,23 @@ class Scene:
     bvh_method: int = native.SAH
     max_leaf: int = 4
     version: int = 0  # Subject/Observer notify counter
+    edit_version: int = 0  # bumped only by content edits (invalidates build)
+    _build_cache: object = dataclass_field(default=None, repr=False)
 
     # -- editing API (each edit bumps version -> progressive restart) -------
 
-    def notify(self):
+    def notify(self, content: bool = True):
+        """Bump the observer counter (progressive sessions restart).
+
+        Content edits (the default: geometry/material/light changes) also
+        invalidate the built-SceneData cache; camera-only observers pass
+        content=False so a fly-cam tick restarts accumulation WITHOUT
+        paying a full accel rebuild (the reference's camera Subject
+        notifies the Film only, Camera.cu:226-232)."""
         self.version += 1
+        if content:
+            self.edit_version += 1
+            self._build_cache = None
 
     def add_texture(self, image) -> int:
         """Register a linear float [H, W, 3] texture; returns its atlas id."""
@@ -357,6 +369,11 @@ class Scene:
     # -- compilation ---------------------------------------------------------
 
     def build(self) -> SceneData:
+        if (
+            self._build_cache is not None
+            and self._build_cache[0] == self.edit_version
+        ):
+            return self._build_cache[1]
         if not self.objects:
             raise ValueError("Scene has no geometry")
         if not self.material_albedo:
@@ -394,10 +411,12 @@ class Scene:
         from mc_path_tracer_tpu.ops.pallas.traversal_kernel import build_leaf_table
         from mc_path_tracer_tpu.utils.texture import build_atlas
 
-        return SceneData(
+        data = SceneData(
             tris=tris, bvh=bvh, materials=materials,
             lights=lights_mod.LightSet(env=self.env, directional=dl, area=al),
             atlas=build_atlas(self.textures),
             wide=wide,
-            leaf=build_leaf_table(wide),  # None when over the VMEM budget
+            leaf=build_leaf_table(wide),  # None when over the stream budget
         )
+        self._build_cache = (self.edit_version, data)
+        return data

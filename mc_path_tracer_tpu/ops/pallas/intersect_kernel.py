@@ -137,6 +137,13 @@ def _pad_tris_cm(tri_geo_t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run(kernel, tri_geo_t, ray_o, ray_d, interpret):
+    # triangle ids round-trip through f32 in the packed [R, 4] output:
+    # exact only below the 24-bit mantissa (the auto-routed dense path is
+    # capped at DENSE_ACCEL_MAX_TRIS=2048, but this is a public entry point)
+    assert tri_geo_t.shape[1] < (1 << 24), (
+        f"dense Pallas intersector holds triangle ids as f32; "
+        f"{tri_geo_t.shape[1]} triangles exceeds the 2^24 exact-int range"
+    )
     tri_p = _pad_tris_cm(tri_geo_t)
     r = ray_o.shape[0]
     pad = (-r) % RAY_BLOCK

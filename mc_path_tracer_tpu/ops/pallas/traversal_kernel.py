@@ -81,9 +81,16 @@ MAX_LEAVES = LEAF_VMEM_LIMIT // (N_COMP * LANES * 4)
 # beyond the VMEM budget the rows stay in HBM and phase 2 double-buffers
 # each visited 5 KB leaf row through a 2-slot VMEM ring by async DMA (the
 # SMEM worklist IS the prefetch schedule — the extension designed in r2's
-# docstring, now implemented).  The cap is the SMEM worklist budget
-# (3 arrays x 4 B per leaf), not VMEM: ~8k leaves = ~1M inline triangles.
-MAX_LEAVES_STREAM = 8192
+# docstring, now implemented).  The SMEM worklist budget bounds one PAGE
+# (3 arrays x 4 B per leaf); larger tables run the phase pipeline per
+# 8192-leaf page, carrying best-hit / occlusion state across pages, up to
+# MAX_LEAVES_PAGED (~8.4M inline triangles).  Ordering note: the counting
+# sort is per page, so near-to-far holds within a page only (pages follow
+# wide-BVH DFS order, which is itself spatially coherent).
+PAGE_LEAVES = 8192
+PAGE_CHUNKS = PAGE_LEAVES // LANES
+MAX_LEAVES_PAGED = 65536
+MAX_LEAVES_STREAM = PAGE_LEAVES  # back-compat alias (single-page cap)
 
 
 @dataclass(frozen=True)
@@ -96,11 +103,18 @@ class LeafTable:
               (rows 0-5 = bmin.xyz / bmax.xyz; rows 6-7 pad)
     base      [L, 1] f32 — base triangle index per leaf (sublane-major so
               the kernel can scalar-read it)
+    cboxes_t  [8, 128] f32 — cluster AABBs, one per 128-leaf chunk of the
+              table (leaves are in wide-BVH DFS order, so consecutive
+              leaves are spatially coherent).  Phase -1 culls whole chunks
+              against these before any per-leaf slab work — the in-kernel
+              stand-in for the reference's inner-node hierarchy pruning
+              (Triangle.cu:156-200 near-child-first stack traversal).
     """
 
     rows: jnp.ndarray
     boxes_t: jnp.ndarray
     base: jnp.ndarray
+    cboxes_t: jnp.ndarray
 
     @property
     def num_leaves(self) -> int:
@@ -112,19 +126,21 @@ class LeafTable:
 
 
 jax.tree_util.register_dataclass(
-    LeafTable, data_fields=["rows", "boxes_t", "base"], meta_fields=[]
+    LeafTable, data_fields=["rows", "boxes_t", "base", "cboxes_t"],
+    meta_fields=[],
 )
 
 
 def build_leaf_table(
-    wide: WideBVH, max_leaves: int = MAX_LEAVES_STREAM
+    wide: WideBVH, max_leaves: int = MAX_LEAVES_PAGED
 ) -> LeafTable | None:
     """Extract the leaf rows of a WideBVH and their AABBs (host numpy).
 
-    Tables up to MAX_LEAVES traverse fully VMEM-resident; up to
-    MAX_LEAVES_STREAM they traverse with HBM rows + double-buffered DMA
-    (chosen per dispatch in _traverse).  Returns None beyond the stream cap
-    (callers fall back to the XLA wide traversal)."""
+    Tables up to MAX_LEAVES traverse fully VMEM-resident; larger ones
+    traverse with HBM rows + double-buffered DMA (chosen per dispatch in
+    _traverse), paged through SMEM in PAGE_LEAVES batches beyond one page.
+    Returns None beyond MAX_LEAVES_PAGED (callers fall back to the XLA
+    wide traversal)."""
     table = np.asarray(wide.rows)
     is_leaf = table[:, _META_COMP, 0] > 0.5
     rows = table[is_leaf]
@@ -153,10 +169,27 @@ def build_leaf_table(
     boxes_t[0:3, :n] = bmin.T
     boxes_t[3:6, :n] = bmax.T
     base = rows[:, _META_COMP, 1:2].astype(np.float32)
+    # cluster AABBs: union of each 128-leaf chunk (DFS-adjacent leaves).
+    # One 128-lane column block per 8192-leaf page: page p's chunk cl sits
+    # at column p*128 + cl (lanes PAGE_CHUNKS..127 of each block unused).
+    # Padding chunks keep inverted boxes; the kernel masks them by static
+    # chunk index (an inverted box does NOT fail the slab test).
+    n_chunks = l_pad // 128
+    n_pages = -(-n_chunks // PAGE_CHUNKS)
+    cboxes_t = np.zeros((8, 128 * n_pages), np.float32)
+    cboxes_t[0:3, :] = 1.0
+    cboxes_t[3:6, :] = -1.0
+    for c in range(n_chunks):
+        col = (c // PAGE_CHUNKS) * 128 + (c % PAGE_CHUNKS)
+        lo = c * 128
+        hi = min(n, lo + 128)
+        cboxes_t[0:3, col] = bmin[lo:hi].min(axis=0)
+        cboxes_t[3:6, col] = bmax[lo:hi].max(axis=0)
     return LeafTable(
         rows=jnp.asarray(rows),
         boxes_t=jnp.asarray(boxes_t),
         base=jnp.asarray(base),
+        cboxes_t=jnp.asarray(cboxes_t),
     )
 
 
@@ -192,6 +225,18 @@ def _mt_leaf(row, ox, oy, oz, dx, dy, dz):
     return valid, tt, uu, vv
 
 
+N_BUCKETS = 32
+
+# Per-visit triangle test path: False = direct VPU Moller-Trumbore on the
+# [sub, 128] subgroup x leaf pair (35 elementwise ops, no G-matrix
+# assembly); True = the r3 F[sub,16] @ G[16,512] MXU factorization.  At
+# sub=64 the matmul's K=16 pads to the 128-wide systolic array and its
+# HIGHEST-precision f32 decomposition multiplies passes, while the VPU
+# form runs ~0.3 us/visit and skips the 26-store G-load — measured faster
+# (tools/profile_r04.py); the MXU path is kept for A/B.
+VISIT_MXU = False
+
+
 def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                  stream: bool = False, sub: int = 64):
     """Kernel factory.  `sub` is the subgroup width: phase 0 records, per
@@ -201,14 +246,26 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
     64-ray subgroup unions are ~31 — most of a visit's lanes are waste).
     Each subgroup also keeps its own closest-hit bound (tsub) so resolved
     subgroups stop paying for stragglers; the block-level suffix-min break
-    is unchanged."""
-    n_chunks = l_pad // LANES
-    nc_pad = -(-n_chunks // 8) * 8
+    is unchanged.
 
-    def kernel(rays_ref, rows_ref, base_ref, boxes_ref, out_ref,
-               tn_mat, tn_t, bits_mat, bits_t,
-               flags_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
-               g_mat, best_a, best_b, tblk_sm, tsub_sm, *stream_scratch):
+    Phase -1 slab-tests the block against the 128-leaf cluster AABBs and
+    gates phase 0 per chunk, so per-leaf slab work is O(touched chunks),
+    not O(L) — the hierarchy pruning the XLA wide path gets from its inner
+    16-ary rows, done block-wise in-kernel.  Phase 1 places active leaves
+    into the worklist in near-to-far order of their block-min entry
+    distance (counting sort over N_BUCKETS distance buckets): closest-hit
+    then breaks at the first bucket beyond every live ray's best hit, and
+    any-hit meets near occluders first so the all-occluded exit fires
+    early (the vector analogue of near-child-first ordering,
+    Triangle.cu:177-186)."""
+    n_chunks = l_pad // LANES
+    n_pages = -(-n_chunks // PAGE_CHUNKS)
+
+    def kernel(rays_ref, rows_ref, base_ref, boxes_ref, cboxes_ref, out_ref,
+               tn_mat, tn_t, bits_mat, bits_t, bk_mat, bk_t, cf_mat, cf_t,
+               flags_sm, cflag_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
+               off_sm, g_mat, best_a, best_b, tblk_sm, tsub_sm,
+               *stream_scratch):
         b = rays_ref.shape[0]
         n_sub = b // sub
         ox, oy, oz = rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3]
@@ -228,10 +285,11 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         @pl.when(alive)
         def _phases():
             _kernel_phases(
-                rays_ref, rows_ref, base_ref, boxes_ref,
-                tn_mat, tn_t, bits_mat, bits_t,
-                flags_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
-                g_mat, best_a, best_b, tblk_sm, tsub_sm, stream_scratch,
+                rays_ref, rows_ref, base_ref, boxes_ref, cboxes_ref,
+                tn_mat, tn_t, bits_mat, bits_t, bk_mat, bk_t, cf_mat, cf_t,
+                flags_sm, cflag_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
+                off_sm, g_mat, best_a, best_b, tblk_sm, tsub_sm,
+                stream_scratch,
                 ox, oy, oz, dx, dy, dz, live, t_max, b, n_sub,
             )
 
@@ -241,11 +299,27 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                 best_a[:, :] < K_HUGE, best_b[:, :], -1.0
             )
 
-    def _kernel_phases(rays_ref, rows_ref, base_ref, boxes_ref,
-                       tn_mat, tn_t, bits_mat, bits_t,
-                       flags_sm, n_sm, list_sm, tn_sm, suff_sm, bits_sm,
-                       g_mat, best_a, best_b, tblk_sm, tsub_sm,
-                       stream_scratch,
+    def _slab(boxes, sl, ox, oy, oz, ix, iy, iz):
+        t0 = (boxes[0:1, sl] - ox) * ix
+        t1 = (boxes[3:4, sl] - ox) * ix
+        tn = jnp.minimum(t0, t1)
+        tf = jnp.maximum(t0, t1)
+        t0 = (boxes[1:2, sl] - oy) * iy
+        t1 = (boxes[4:5, sl] - oy) * iy
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t0 = (boxes[2:3, sl] - oz) * iz
+        t1 = (boxes[5:6, sl] - oz) * iz
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        return tn, tf
+
+    def _kernel_phases(rays_ref, rows_ref, base_ref, boxes_ref, cboxes_ref,
+                       tn_mat, tn_t, bits_mat, bits_t, bk_mat, bk_t,
+                       cf_mat, cf_t,
+                       flags_sm, cflag_sm, n_sm, list_sm, tn_sm, suff_sm,
+                       bits_sm, off_sm, g_mat, best_a, best_b, tblk_sm,
+                       tsub_sm, stream_scratch,
                        ox, oy, oz, dx, dy, dz, live, t_max, b, n_sub):
         eps = 1e-12
         ix = jnp.reciprocal(jnp.where(jnp.abs(dx) > eps, dx,
@@ -257,75 +331,7 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
 
-        # ---- phase 0: block-min leaf entry distances + per-leaf subgroup
-        # bitmasks, 128 leaves at a time, written in natural lane layout
-        # (NO per-chunk transposes — a (1,128)->(128,1) relayout spans 16
-        # sublane tiles and costs more than the whole slab)
-        for c in range(n_chunks):
-            sl = slice(c * LANES, (c + 1) * LANES)
-            t0 = (boxes_ref[0:1, sl] - ox) * ix
-            t1 = (boxes_ref[3:4, sl] - ox) * ix
-            tn = jnp.minimum(t0, t1)
-            tf = jnp.maximum(t0, t1)
-            t0 = (boxes_ref[1:2, sl] - oy) * iy
-            t1 = (boxes_ref[4:5, sl] - oy) * iy
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            t0 = (boxes_ref[2:3, sl] - oz) * iz
-            t1 = (boxes_ref[5:6, sl] - oz) * iz
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            hit = (tn <= tf) & (tf >= 0.0) & live
-            if any_hit:
-                hit = hit & (tn <= t_max)
-            # padding lanes masked by static index (an inverted padding box
-            # does NOT fail the slab test)
-            n_here = n_leaves - c * LANES
-            if n_here < LANES:
-                hit = hit & (lane < n_here)
-            tnm = jnp.where(hit, jnp.maximum(tn, 0.0), _FAR)
-            tnb = jnp.min(tnm, axis=0, keepdims=True)      # (1, 128)
-            tn_mat[c:c + 1, :] = tnb
-            flags_sm[c] = (jnp.min(tnb) < _FAR).astype(jnp.int32)
-            if n_sub > 1:
-                bits = jnp.zeros((1, LANES), jnp.float32)
-                for s_i in range(n_sub):
-                    hs = jnp.max(
-                        jnp.where(hit[s_i * sub:(s_i + 1) * sub], 1.0, 0.0),
-                        axis=0, keepdims=True,
-                    )
-                    bits = bits + hs * float(1 << s_i)
-                bits_mat[c:c + 1, :] = bits
-
-        # ONE small (nc_pad, 128) -> (128, nc_pad) transpose makes every
-        # leaf's entry distance (and subgroup bitmask) scalar-readable
-        # (dynamic sublane + static lane index)
-        tn_t[:, :] = tn_mat[:, :].T
-        if n_sub > 1:
-            bits_t[:, :] = bits_mat[:, :].T
-
-        # ---- phase 1: compact active leaves into the SMEM worklist
-        n_sm[0] = 0
-
-        for c in range(n_chunks):
-            @pl.when(flags_sm[c] == 1)
-            def _(c=c):
-                def body(j, _):
-                    tn = tn_t[j, c]
-                    n = n_sm[0]
-                    # unconditional write + conditional advance: branch-free
-                    list_sm[n] = c * LANES + j
-                    tn_sm[n] = tn
-                    if n_sub > 1:
-                        bits_sm[n] = bits_t[j, c].astype(jnp.int32)
-                    n_sm[0] = n + (tn < _FAR).astype(jnp.int32)
-                    return 0
-
-                jax.lax.fori_loop(0, LANES, body, 0)
-
-        n = n_sm[0]
-
-        # ---- phase 2 setup: per-pair Moller-Trumbore as ONE MXU matmul per
+        # ---- setup: per-pair Moller-Trumbore as ONE MXU matmul per
         # subgroup visit.  det, u*det, v*det and t*det are all LINEAR in the
         # per-ray features F = [d, m, o', 1] (m = d x o', o' = o - c
         # re-centred about the block origin centroid c for conditioning):
@@ -341,25 +347,21 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         # 0 <= u, 0 <= v, u + v <= 1, t >= 0) match Triangle.cu:19-40.
         # conditioning centroid: LIVE rays only (dead lanes may carry
         # o + K_HUGE*d miss positions ~1e32 which would wreck the mean),
-        # clamped to the scene bounds for rays that are live but far away
+        # clamped to the scene bounds for rays that are live but far away.
+        # Scene bounds come from the cluster boxes: their inverted padding
+        # entries (bmin=+1, bmax=-1) are neutral under min/max.
         lv = live.astype(jnp.float32)
         nl = jnp.maximum(jnp.sum(lv), 1.0)
-        lane_ok = lane < (n_leaves - (n_chunks - 1) * LANES)
         sb_min = [jnp.float32(_FAR)] * 3
         sb_max = [jnp.float32(-_FAR)] * 3
-        for c in range(n_chunks):
-            sl = slice(c * LANES, (c + 1) * LANES)
-            ok = lane_ok if c == n_chunks - 1 else (lane >= 0)
+        for pg in range(n_pages):
+            sl = slice(pg * LANES, (pg + 1) * LANES)
             for ax in range(3):
                 sb_min[ax] = jnp.minimum(
-                    sb_min[ax],
-                    jnp.min(jnp.where(ok, boxes_ref[ax:ax + 1, sl], _FAR)),
+                    sb_min[ax], jnp.min(cboxes_ref[ax:ax + 1, sl])
                 )
                 sb_max[ax] = jnp.maximum(
-                    sb_max[ax],
-                    jnp.max(
-                        jnp.where(ok, boxes_ref[3 + ax:4 + ax, sl], -_FAR)
-                    ),
+                    sb_max[ax], jnp.max(cboxes_ref[3 + ax:4 + ax, sl])
                 )
         # mask with where (NOT ox * lv): a NaN/inf origin in a DEAD lane
         # would survive multiply-by-zero (NaN*0 = NaN) and poison the
@@ -386,7 +388,8 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
         # live rays (skip/stop bound); any-hit -> 1.0 when every live ray
         # in the subgroup is occluded (done flag).  Subgroups with no live
         # rays start resolved, which is the dead-lane fast path at
-        # subgroup granularity.
+        # subgroup granularity.  tblk_sm[0] is the block bound (closest) /
+        # the all-occluded flag that also gates later pages (any-hit).
         for s_i in range(n_sub):
             sl_ = slice(s_i * sub, (s_i + 1) * sub)
             if any_hit:
@@ -397,11 +400,13 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                 tsub_sm[s_i] = jnp.max(
                     jnp.where(live[sl_], K_HUGE, -1.0)
                 )
-        if not any_hit:
-            tblk = tsub_sm[0]
-            for s_i in range(1, n_sub):
+        tblk = tsub_sm[0]
+        for s_i in range(1, n_sub):
+            if any_hit:
+                tblk = jnp.minimum(tblk, tsub_sm[s_i])
+            else:
                 tblk = jnp.maximum(tblk, tsub_sm[s_i])
-            tblk_sm[0] = tblk
+        tblk_sm[0] = tblk
 
         if stream:
             row_buf, dma_sem = stream_scratch
@@ -479,138 +484,288 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
                 return bit_ok & (tsub_sm[s_i] < 0.5)
             return bit_ok & (tn_sm[i] <= tsub_sm[s_i])
 
-        if not any_hit:
-            # ---- phase 1b: suffix-min of entry distances (break oracle)
-            suff_sm[n] = _FAR
+        def _page(p):
+            """Phases -1..2 for the PAGE_LEAVES-sized leaf page p; best-hit /
+            occlusion state (best_a/b, tsub_sm, tblk_sm) carries across
+            pages, so page p+1 starts pre-pruned by everything page p
+            resolved."""
+            base_c = p * PAGE_CHUNKS
+            nc_p = min(PAGE_CHUNKS, n_chunks - base_c)
 
-            def back(j, m):
-                idx = n - 1 - j
-                m = jnp.minimum(m, tn_sm[idx])
-                suff_sm[idx] = m
-                return m
+            # ---- phase -1: cull whole 128-leaf chunks against their
+            # cluster AABBs (one [B, 128] slab for the whole page), so
+            # phase 0 pays per-leaf slab work only for touched chunks
+            tn_mat[:, :] = jnp.full((PAGE_CHUNKS, LANES), _FAR, jnp.float32)
+            ctn, ctf = _slab(cboxes_ref, slice(p * LANES, (p + 1) * LANES),
+                             ox, oy, oz, ix, iy, iz)
+            chit = (ctn <= ctf) & (ctf >= 0.0) & live
+            if any_hit:
+                chit = chit & (ctn <= t_max)
+            chit = chit & (lane < nc_p)
+            cf_mat[:, :] = jnp.zeros((8, LANES), jnp.float32)
+            cf_mat[0:1, :] = jnp.max(jnp.where(chit, 1.0, 0.0), axis=0,
+                                     keepdims=True)
+            cf_t[:, :] = cf_mat[:, :].T
+            for cl in range(nc_p):
+                cflag_sm[cl] = (cf_t[cl, 0] > 0.5).astype(jnp.int32)
+                flags_sm[cl] = 0
 
-            jax.lax.fori_loop(0, n, back, jnp.float32(_FAR))
+            # ---- phase 0: block-min leaf entry distances + per-leaf
+            # subgroup bitmasks, 128 leaves at a time (touched chunks only),
+            # written in natural lane layout (NO per-chunk transposes — a
+            # (1,128)->(128,1) relayout spans 16 sublane tiles and costs
+            # more than the slab)
+            for cl in range(nc_p):
+                @pl.when(cflag_sm[cl] == 1)
+                def _(cl=cl):
+                    g = base_c + cl
+                    sl = slice(g * LANES, (g + 1) * LANES)
+                    tn, tf = _slab(boxes_ref, sl, ox, oy, oz, ix, iy, iz)
+                    hit = (tn <= tf) & (tf >= 0.0) & live
+                    if any_hit:
+                        hit = hit & (tn <= t_max)
+                    # padding lanes masked by static index (an inverted
+                    # padding box does NOT fail the slab test)
+                    n_here = n_leaves - g * LANES
+                    if n_here < LANES:
+                        hit = hit & (lane < n_here)
+                    tnm = jnp.where(hit, jnp.maximum(tn, 0.0), _FAR)
+                    tnb = jnp.min(tnm, axis=0, keepdims=True)   # (1, 128)
+                    tn_mat[cl:cl + 1, :] = tnb
+                    flags_sm[cl] = (jnp.min(tnb) < _FAR).astype(jnp.int32)
+                    if n_sub > 1:
+                        bits = jnp.zeros((1, LANES), jnp.float32)
+                        for s_i in range(n_sub):
+                            hs = jnp.max(
+                                jnp.where(hit[s_i * sub:(s_i + 1) * sub],
+                                          1.0, 0.0),
+                                axis=0, keepdims=True,
+                            )
+                            bits = bits + hs * float(1 << s_i)
+                        bits_mat[cl:cl + 1, :] = bits
 
-            # ---- phase 2: closest hit over the worklist; per-subgroup
-            # visits gated by phase-0 bitmask + the subgroup's own bound
-            def body(carry):
-                i, _ = carry
-                if stream:
-                    # prefetch i+1 while visiting i; the wait must run even
-                    # when the visit is skipped (semaphore bookkeeping)
-                    @pl.when(i + 1 < n)
-                    def _pref():
-                        _row_dma(i + 1).start()
+            # ---- phase 1: near-to-far counting sort of active leaves into
+            # the SMEM worklist.  Bucket each leaf's entry distance
+            # (vectorized), histogram the buckets (vector reduces),
+            # prefix-sum the offsets (scalar, N_BUCKETS), then place
+            # (scalar loop).  Inactive leaves quantize to bucket N_BUCKETS,
+            # whose region starts at n — their branch-free writes land in
+            # the worklist tail and are never read.
+            tmin = jnp.min(tn_mat[:, :])
+            fin = tn_mat[:, :] < _FAR
+            tmax = jnp.max(jnp.where(fin, tn_mat[:, :], -_FAR))
+            scale = float(N_BUCKETS) / jnp.maximum(tmax - tmin, 1e-30)
+            q = jnp.clip((tn_mat[:, :] - tmin) * scale, 0.0,
+                         float(N_BUCKETS - 1))
+            bk_mat[:, :] = jnp.where(fin, jnp.floor(q), float(N_BUCKETS))
 
-                    _row_dma(i).wait()
+            # ONE small (PAGE_CHUNKS, 128) -> (128, PAGE_CHUNKS) transpose
+            # makes every leaf's entry distance / bucket / subgroup bitmask
+            # scalar-readable (dynamic sublane + static lane index)
+            tn_t[:, :] = tn_mat[:, :].T
+            bk_t[:, :] = bk_mat[:, :].T
+            if n_sub > 1:
+                bits_t[:, :] = bits_mat[:, :].T
 
-                @pl.when(tn_sm[i] <= tblk_sm[0])
-                def _visit():
-                    l = list_sm[i]
+            for k in range(N_BUCKETS):
+                off_sm[k + 1] = jnp.sum(
+                    (bk_mat[:, :] == float(k)).astype(jnp.float32)
+                ).astype(jnp.int32)
+            off_sm[0] = 0
+            for k in range(N_BUCKETS):
+                off_sm[k + 1] = off_sm[k] + off_sm[k + 1]
+            n_sm[0] = off_sm[N_BUCKETS]
+
+            for cl in range(nc_p):
+                @pl.when(flags_sm[cl] == 1)
+                def _(cl=cl):
+                    def body(j, _):
+                        bkt = bk_t[j, cl].astype(jnp.int32)
+                        pos = off_sm[bkt]
+                        list_sm[pos] = (base_c + cl) * LANES + j
+                        tn_sm[pos] = tn_t[j, cl]
+                        if n_sub > 1:
+                            bits_sm[pos] = bits_t[j, cl].astype(jnp.int32)
+                        off_sm[bkt] = pos + 1
+                        return 0
+
+                    jax.lax.fori_loop(0, LANES, body, 0)
+
+            n = n_sm[0]
+
+            if not any_hit:
+                # ---- phase 1b: suffix-min of entry distances (break
+                # oracle; the sorted order makes it ~monotonic, so the
+                # break fires at the first too-far bucket)
+                suff_sm[n] = _FAR
+
+                def back(j, m):
+                    idx = n - 1 - j
+                    m = jnp.minimum(m, tn_sm[idx])
+                    suff_sm[idx] = m
+                    return m
+
+                jax.lax.fori_loop(0, n, back, jnp.float32(_FAR))
+
+                # ---- phase 2: closest hit over the worklist; per-subgroup
+                # visits gated by phase-0 bitmask + the subgroup's bound
+                def body(carry):
+                    i, _ = carry
                     if stream:
-                        _load_g(row_buf[jax.lax.rem(i, 2)])
+                        # prefetch i+1 while visiting i; the wait must run
+                        # even when the visit is skipped (semaphore
+                        # bookkeeping)
+                        @pl.when(i + 1 < n)
+                        def _pref():
+                            _row_dma(i + 1).start()
+
+                        _row_dma(i).wait()
+
+                    @pl.when(tn_sm[i] <= tblk_sm[0])
+                    def _visit():
+                        l = list_sm[i]
+                        if stream:
+                            row = row_buf[jax.lax.rem(i, 2)]
+                        else:
+                            row = rows_ref[l]
+                        if VISIT_MXU:
+                            _load_g(row)
+                        for s_i in range(n_sub):
+                            @pl.when(_sub_gate(i, s_i))
+                            def _sub(s_i=s_i):
+                                sl_ = slice(s_i * sub, (s_i + 1) * sub)
+                                if VISIT_MXU:
+                                    det, tp, valid = _pairs(sl_)
+                                    rcp = jnp.reciprocal(
+                                        jnp.where(det >= K_EPSILON, det, 1.0)
+                                    )
+                                    tt = tp * rcp
+                                else:
+                                    valid, tt, _, _ = _mt_leaf(
+                                        row, ox[sl_], oy[sl_], oz[sl_],
+                                        dx[sl_], dy[sl_], dz[sl_],
+                                    )
+                                    valid = valid & live[sl_]
+                                t_best = best_a[sl_, :]
+                                tmask = jnp.where(
+                                    valid & (tt < t_best), tt, K_HUGE
+                                )
+                                tb = jnp.min(tmask, axis=1, keepdims=True)
+                                is_min = (tmask <= tb) & (tmask < K_HUGE)
+                                first = jnp.min(
+                                    jnp.where(is_min, lane_s, LANES),
+                                    axis=1, keepdims=True,
+                                )
+                                closer = tb < t_best
+                                best_a[sl_, :] = jnp.where(
+                                    closer, tb, t_best
+                                )
+                                best_b[sl_, :] = jnp.where(
+                                    closer,
+                                    base_ref[l, 0]
+                                    + first.astype(jnp.float32),
+                                    best_b[sl_, :],
+                                )
+                                tsub_sm[s_i] = jnp.max(
+                                    jnp.where(live[sl_], best_a[sl_, :],
+                                              -1.0)
+                                )
+                        tblk = tsub_sm[0]
+                        for s_i in range(1, n_sub):
+                            tblk = jnp.maximum(tblk, tsub_sm[s_i])
+                        tblk_sm[0] = tblk
+
+                    stop = suff_sm[i + 1] > tblk_sm[0]
+                    return i + 1, stop
+
+                if stream:
+                    @pl.when(n > 0)
+                    def _warm():
+                        _row_dma(0).start()
+
+                final_i, _ = jax.lax.while_loop(
+                    lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                    body, (jnp.int32(0), n == 0),
+                )
+                if stream:
+                    # an early break leaves the prefetched row in flight
+                    @pl.when(final_i < n)
+                    def _drain():
+                        _row_dma(final_i).wait()
+            else:
+                # ---- phase 2: any hit over the worklist; per-subgroup
+                # visits gated by phase-0 bitmask + the subgroup's done
+                # flag; exit when every subgroup is fully occluded
+                def body(carry):
+                    i, _ = carry
+                    if stream:
+                        @pl.when(i + 1 < n)
+                        def _pref():
+                            _row_dma(i + 1).start()
+
+                        _row_dma(i).wait()
+                        row = row_buf[jax.lax.rem(i, 2)]
                     else:
-                        _load_g(rows_ref[l])
+                        row = rows_ref[list_sm[i]]
+                    if VISIT_MXU:
+                        _load_g(row)
                     for s_i in range(n_sub):
                         @pl.when(_sub_gate(i, s_i))
                         def _sub(s_i=s_i):
                             sl_ = slice(s_i * sub, (s_i + 1) * sub)
-                            det, tp, valid = _pairs(sl_)
-                            t_best = best_a[sl_, :]
-                            rcp = jnp.reciprocal(
-                                jnp.where(det >= K_EPSILON, det, 1.0)
-                            )
-                            tt = tp * rcp
-                            tmask = jnp.where(
-                                valid & (tt < t_best), tt, K_HUGE
-                            )
-                            tb = jnp.min(tmask, axis=1, keepdims=True)
-                            is_min = (tmask <= tb) & (tmask < K_HUGE)
-                            first = jnp.min(
-                                jnp.where(is_min, lane_s, LANES),
+                            if VISIT_MXU:
+                                det, tp, valid = _pairs(sl_)
+                                valid = valid & (tp <= t_max[sl_] * det)
+                            else:
+                                valid, tt, _, _ = _mt_leaf(
+                                    row, ox[sl_], oy[sl_], oz[sl_],
+                                    dx[sl_], dy[sl_], dz[sl_],
+                                )
+                                valid = (valid & live[sl_]
+                                         & (tt <= t_max[sl_]))
+                            hit_here = jnp.max(
+                                jnp.where(valid, 1.0, 0.0),
                                 axis=1, keepdims=True,
                             )
-                            closer = tb < t_best
-                            best_a[sl_, :] = jnp.where(closer, tb, t_best)
-                            best_b[sl_, :] = jnp.where(
-                                closer,
-                                base_ref[l, 0] + first.astype(jnp.float32),
-                                best_b[sl_, :],
+                            best_a[sl_, :] = jnp.maximum(
+                                best_a[sl_, :], hit_here
                             )
-                            tsub_sm[s_i] = jnp.max(
-                                jnp.where(live[sl_], best_a[sl_, :], -1.0)
+                            tsub_sm[s_i] = jnp.min(
+                                jnp.where(live[sl_], best_a[sl_, :], 1.0)
                             )
-                    tblk = tsub_sm[0]
+                    done = tsub_sm[0]
                     for s_i in range(1, n_sub):
-                        tblk = jnp.maximum(tblk, tsub_sm[s_i])
-                    tblk_sm[0] = tblk
+                        done = jnp.minimum(done, tsub_sm[s_i])
+                    return i + 1, done >= 0.5
 
-                stop = suff_sm[i + 1] > tblk_sm[0]
-                return i + 1, stop
-
-            if stream:
-                @pl.when(n > 0)
-                def _warm():
-                    _row_dma(0).start()
-
-            final_i, _ = jax.lax.while_loop(
-                lambda c: (c[0] < n) & jnp.logical_not(c[1]),
-                body, (jnp.int32(0), n == 0),
-            )
-            if stream:
-                # an early break leaves the prefetched row i+1 in flight
-                @pl.when(final_i < n)
-                def _drain():
-                    _row_dma(final_i).wait()
-        else:
-            # ---- phase 2: any hit over the worklist; per-subgroup visits
-            # gated by phase-0 bitmask + the subgroup's done flag; exit
-            # when every subgroup is fully occluded
-            def body(carry):
-                i, _ = carry
                 if stream:
-                    @pl.when(i + 1 < n)
-                    def _pref():
-                        _row_dma(i + 1).start()
+                    @pl.when(n > 0)
+                    def _warm():
+                        _row_dma(0).start()
 
-                    _row_dma(i).wait()
-                    _load_g(row_buf[jax.lax.rem(i, 2)])
-                else:
-                    _load_g(rows_ref[list_sm[i]])
-                for s_i in range(n_sub):
-                    @pl.when(_sub_gate(i, s_i))
-                    def _sub(s_i=s_i):
-                        sl_ = slice(s_i * sub, (s_i + 1) * sub)
-                        det, tp, valid = _pairs(sl_)
-                        valid = valid & (tp <= t_max[sl_] * det)
-                        hit_here = jnp.max(
-                            jnp.where(valid, 1.0, 0.0),
-                            axis=1, keepdims=True,
-                        )
-                        best_a[sl_, :] = jnp.maximum(
-                            best_a[sl_, :], hit_here
-                        )
-                        tsub_sm[s_i] = jnp.min(
-                            jnp.where(live[sl_], best_a[sl_, :], 1.0)
-                        )
+                final_i, _ = jax.lax.while_loop(
+                    lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                    body, (jnp.int32(0), n == 0),
+                )
+                if stream:
+                    # an early exit leaves the prefetched row in flight
+                    @pl.when(final_i < n)
+                    def _drain():
+                        _row_dma(final_i).wait()
+                # refresh the all-occluded flag that gates later pages
                 done = tsub_sm[0]
                 for s_i in range(1, n_sub):
                     done = jnp.minimum(done, tsub_sm[s_i])
-                return i + 1, done >= 0.5
+                tblk_sm[0] = done
 
-            if stream:
-                @pl.when(n > 0)
-                def _warm():
-                    _row_dma(0).start()
-
-            final_i, _ = jax.lax.while_loop(
-                lambda c: (c[0] < n) & jnp.logical_not(c[1]),
-                body, (jnp.int32(0), n == 0),
-            )
-            if stream:
-                @pl.when(final_i < n)
-                def _drain():
-                    _row_dma(final_i).wait()
+        for p in range(n_pages):
+            if any_hit and p > 0:
+                # skip whole later pages once every live ray is occluded
+                @pl.when(tblk_sm[0] < 0.5)
+                def _gated(p=p):
+                    _page(p)
+            else:
+                _page(p)
 
     return kernel
 
@@ -708,24 +863,31 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
             pl.BlockSpec((block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(                            # rows: VMEM-resident or
-                memory_space=pltpu.ANY if stream else pltpu.VMEM
+                memory_space=pl.ANY if stream else pltpu.VMEM
             ),                                       # HBM + per-visit DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),   # base (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # boxes_t (resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cboxes_t (resident)
         ],
         out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((-(-n_chunks // 8) * 8, LANES), jnp.float32),  # tn_mat
-            pltpu.VMEM((LANES, -(-n_chunks // 8) * 8), jnp.float32),  # tn_t
-            pltpu.VMEM((-(-n_chunks // 8) * 8, LANES), jnp.float32),  # bits
-            pltpu.VMEM((LANES, -(-n_chunks // 8) * 8), jnp.float32),  # bits_t
-            pltpu.SMEM((n_chunks,), jnp.int32),      # flags
+            pltpu.VMEM((PAGE_CHUNKS, LANES), jnp.float32),  # tn_mat (page)
+            pltpu.VMEM((LANES, PAGE_CHUNKS), jnp.float32),  # tn_t
+            pltpu.VMEM((PAGE_CHUNKS, LANES), jnp.float32),  # bits
+            pltpu.VMEM((LANES, PAGE_CHUNKS), jnp.float32),  # bits_t
+            pltpu.VMEM((PAGE_CHUNKS, LANES), jnp.float32),  # bk_mat
+            pltpu.VMEM((LANES, PAGE_CHUNKS), jnp.float32),  # bk_t
+            pltpu.VMEM((8, LANES), jnp.float32),     # cf_mat (chunk flags)
+            pltpu.VMEM((LANES, 8), jnp.float32),     # cf_t
+            pltpu.SMEM((PAGE_CHUNKS,), jnp.int32),   # flags (page)
+            pltpu.SMEM((PAGE_CHUNKS,), jnp.int32),   # chunk-touched flags
             pltpu.SMEM((8,), jnp.int32),             # n
-            pltpu.SMEM((l_pad + 8,), jnp.int32),     # worklist
-            pltpu.SMEM((l_pad + 8,), jnp.float32),   # entry distances
-            pltpu.SMEM((l_pad + 8,), jnp.float32),   # suffix minima
-            pltpu.SMEM((l_pad + 8,), jnp.int32),     # subgroup bitmasks
+            pltpu.SMEM((PAGE_LEAVES + 8,), jnp.int32),    # worklist (page)
+            pltpu.SMEM((PAGE_LEAVES + 8,), jnp.float32),  # entry distances
+            pltpu.SMEM((PAGE_LEAVES + 8,), jnp.float32),  # suffix minima
+            pltpu.SMEM((PAGE_LEAVES + 8,), jnp.int32),    # subgroup bitmasks
+            pltpu.SMEM((N_BUCKETS + 2,), jnp.int32),  # bucket offsets
             pltpu.VMEM((16, 4 * LANES), jnp.float32),   # G coefficients
             pltpu.VMEM((block, 1), jnp.float32),        # best t / occ
             pltpu.VMEM((block, 1), jnp.float32),        # best tri id
@@ -735,8 +897,15 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
             pltpu.VMEM((2, N_COMP, LANES), jnp.float32),  # DMA row ring
             pltpu.SemaphoreType.DMA((2,)),
         ] if stream else []),
+        # the resident route sits within ~100 KB of the default 16 MB scoped
+        # budget (3 MB leaf table + I/O double buffering + unrolled-subgroup
+        # temporaries); give the compiler the explicit ceiling so the small
+        # phase -1 / counting-sort scratch doesn't tip it over
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(packed, table.rows, table.base, table.boxes_t)
+    )(packed, table.rows, table.base, table.boxes_t, table.cboxes_t)
     if any_hit:
         return out[:r, 0] > 0.5
     t = out[:r, 0]

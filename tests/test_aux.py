@@ -117,6 +117,48 @@ def test_preview_irradiance_directional_env():
     assert e[0].sum() > 10.0 * max(e[1].sum(), 1e-6)
 
 
+def test_preview_specular_ibl_metal_reflects_env():
+    """A pure metal sphere under an HDRI must preview with visible env
+    reflection (specular split-sum IBL; r3 VERDICT gap #1 — previously
+    ambient was diffuse-only and metals went near-black)."""
+    from mc_path_tracer_tpu.models.scene import Scene
+    from mc_path_tracer_tpu.models.primitives import uv_sphere
+
+    rng = np.random.default_rng(3)
+    tex = (rng.uniform(0.2, 2.0, size=(16, 32, 3))).astype(np.float32)
+    for metallic, rough in ((1.0, 0.1), (1.0, 0.8)):
+        s = Scene()
+        s.set_environment_hdr(tex, ls=1.0)
+        m = s.add_material(albedo=(0.9, 0.9, 0.9), roughness=rough,
+                           metallic=metallic)
+        p, n, uv, idx = uv_sphere(1.0, rings=12, segments=24)
+        s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+        img = np.asarray(render_preview(s, CAM, 24, 18, "shaded").ld)
+        center = img[6:12, 9:15].mean()
+        assert center > 0.1, (metallic, rough, center)
+
+
+def test_preview_prefilter_roughness_blurs():
+    """Prefiltered specular: rougher lobes average the env (less extreme
+    values) while near-mirror follows the exact lookup."""
+    from mc_path_tracer_tpu.models import lights as lights_mod
+    from mc_path_tracer_tpu.models.preview import _prefiltered_spec
+    from mc_path_tracer_tpu.ops import envmap
+
+    tex = np.zeros((16, 32, 3), np.float32)
+    tex[6:10, :, :] = 8.0  # bright equator band (avoids pole-edge bilinear)
+    env = lights_mod.make_env_hdri(tex)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)  # equirect (0.5, 0.5)
+    sharp = np.asarray(
+        _prefiltered_spec(env, d, jnp.asarray([0.05], jnp.float32)))
+    blurry = np.asarray(
+        _prefiltered_spec(env, d, jnp.asarray([1.0], jnp.float32)))
+    exact = np.asarray(envmap.radiance(env.tex, d))
+    # mirror end matches the exact equirect lookup; r=1 averages way down
+    np.testing.assert_allclose(sharp[0], exact[0], rtol=0.05)
+    assert blurry[0].mean() < 0.7 * sharp[0].mean()
+
+
 def test_session_progressive_and_observer_restart():
     s = scene()
     ses = RenderSession(scene=s, camera=CAM, width=16, height=16,

@@ -16,16 +16,21 @@ def _cases():
     from mc_path_tracer_tpu import configs
     from mc_path_tracer_tpu.models.integrator import RenderConfig, render
 
-    def make(n, cfg):
+    def make(n, cfg, size=16):
         scene, cam, _, _ = configs.ALL_CONFIGS[n]()
         return lambda: render(
-            scene, cam, 16, 16, cfg, key=jax.random.PRNGKey(42)
+            scene, cam, size, size, cfg, key=jax.random.PRNGKey(42)
         ).radiance_mean()
 
     return {
         "config1": make(1, RenderConfig(spp=8, max_depth=2)),
         "config2": make(2, RenderConfig(spp=8, max_depth=3)),
         "config4": make(4, RenderConfig(spp=4, max_depth=2)),
+        # mid-size goldens: 64x64 at real depth pins the full estimator
+        # (MIS + env CDF + RR) at a scale where spatial structure shows
+        "config1_64": make(1, RenderConfig(spp=8, max_depth=2), 64),
+        "config2_64": make(2, RenderConfig(spp=4, max_depth=3), 64),
+        "config3_64": make(3, RenderConfig(spp=4, max_depth=3), 64),
     }
 
 

@@ -307,3 +307,45 @@ def test_leaf_table_beyond_vmem_budget_streams():
         np.testing.assert_array_equal(np.asarray(id_r), np.asarray(id_s))
     finally:
         tk.MAX_LEAVES = old
+
+
+def test_paged_worklist_matches_brute_multi_page():
+    """Tables larger than one SMEM page run the phase pipeline per page,
+    carrying best-hit / occlusion state across pages (r3 VERDICT #8: the
+    1M-triangle ceiling is now paged, not a fallback cliff).  Forced here
+    by shrinking the page size so a small scene spans several pages."""
+    from mc_path_tracer_tpu.ops import bvh as bvh_mod
+    from mc_path_tracer_tpu.ops.intersect import intersect_brute, occluded_brute
+    from mc_path_tracer_tpu.ops.pallas import traversal_kernel as tk
+    from mc_path_tracer_tpu.ops.wide_bvh import build_wide
+    from mc_path_tracer_tpu.utils import native
+    from tests.test_intersect import random_rays, random_scene
+
+    tris = random_scene(n=900, seed=51)
+    nodes, cols, rtris = bvh_mod._build_binary(tris, 2, native.SAH)
+    wide = build_wide(*nodes, cols["v0"], cols["e1"], cols["e2"],
+                      leaf_tris=4)  # many small leaves -> several chunks
+    old = (tk.PAGE_LEAVES, tk.PAGE_CHUNKS)
+    try:
+        tk.PAGE_LEAVES, tk.PAGE_CHUNKS = 128, 1  # 1 chunk per page
+        table = tk.build_leaf_table(wide)
+        assert table is not None
+        n_pages = table.cboxes_t.shape[1] // 128
+        assert n_pages >= 2, f"scene spans only {n_pages} page(s)"
+        ro, rd = random_rays(n=300, seed=52)
+        ref = intersect_brute(tris, ro, rd)
+        for stream in (False, True):
+            t, tri_id = tk._traverse(table, ro, rd, False, None, None, True,
+                                     stream=stream)
+            m = np.asarray(ref.hit)
+            np.testing.assert_array_equal(np.asarray(tri_id >= 0), m)
+            np.testing.assert_allclose(
+                np.asarray(t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+            )
+            occ = tk._traverse(table, ro, rd, True, None, None, True,
+                               stream=stream)
+            np.testing.assert_array_equal(
+                np.asarray(occ), np.asarray(occluded_brute(tris, ro, rd))
+            )
+    finally:
+        tk.PAGE_LEAVES, tk.PAGE_CHUNKS = old
