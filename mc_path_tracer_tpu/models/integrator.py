@@ -284,6 +284,14 @@ def trace_radiance(
         pdf_brdf_at_wl = sg(
             jnp.where(delta, 1.0, brdf.mixture_pdf(mat, n, wl, wo))
         )
+        # lanes whose light sample contributes nothing (f = 0 — e.g. env
+        # directions sampled below the surface horizon, ~half of them on
+        # diffuse surfaces — or pdf = 0) skip the shadow ray: exact, since
+        # the ld term is zero either way, and the sorted dispatch compacts
+        # the skipped lanes into kernel-skipped blocks
+        sh_mask = (
+            alive & (pdf_light > 0.0) & jnp.any(sg(f_light) != 0.0, axis=-1)
+        ) if not cfg.reference_quirks else alive
 
         # ---- brdf-sample estimator (mat_mix:331-345), non-delta lights ----
         # Default (reuse_brdf_ray): ONE mixture sample ws serves both the
@@ -341,7 +349,7 @@ def trace_radiance(
             # the emissive surface?); env visibility falls out of the same
             # trace (escaped == visible), so no separate occlusion test.
             visible = (
-                ~_occluded(scene, cfg, shadow_o, wl, mask=alive,
+                ~_occluded(scene, cfg, shadow_o, wl, mask=sh_mask,
                            t_max=shadow_tmax)
                 & alive
             )
@@ -370,7 +378,7 @@ def trace_radiance(
             # shadow any-hit only (R lanes); the extension closest-hit below
             # doubles as the brdf-sample visibility query (miss == the env
             # light is visible along ws)
-            occ = _occluded(scene, cfg, shadow_o, wl, mask=alive)
+            occ = _occluded(scene, cfg, shadow_o, wl, mask=sh_mask)
             visible = ~occ & alive
             isect_next = jax.tree.map(
                 sg, _intersect(scene, cfg, ext_o, wb, mask=ext_mask)
@@ -388,7 +396,7 @@ def trace_radiance(
                 scene, cfg,
                 jnp.concatenate([shadow_o, vis_o], axis=0),
                 jnp.concatenate([wl, wb], axis=0),
-                mask=jnp.concatenate([alive, alive & ~delta], axis=0),
+                mask=jnp.concatenate([sh_mask, alive & ~delta], axis=0),
             )
             visible = ~occ2[:num_rays] & alive
             vis2 = ~occ2[num_rays:] & ~delta & alive

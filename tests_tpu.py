@@ -3,7 +3,7 @@
 Round-2 shipped a silent bf16 meta corruption that made every TPU render
 return garbage hits while the (CPU/interpret-mode) test suite stayed green
 (VERDICT r2, weak #4).  This gate runs ON THE REAL CHIP and leaves an
-artifact (TESTS_TPU_r03.json) asserting:
+artifact (TESTS_TPU_r04.json) asserting:
 
   1. Pallas leaf-table closest-hit agrees with intersect_brute on the bench
      scene for coherent primary AND scattered bounce rays (>= 99.9% tri-id
@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "TESTS_TPU_r03.json")
+                        "TESTS_TPU_r04.json")
 
 
 def brute_chunked(tris, ro, rd, chunk=512):
@@ -267,6 +267,24 @@ def main():
           f"mean_err={mean_err:.2e} -> {'PASS' if ok else 'FAIL'}")
     all_ok &= ok
 
+    # ---- second compiled-TPU golden: config2 (area-light MIS path)
+    s2, cam2, _, _ = configs.ALL_CONFIGS[2]()
+    film2 = render(s2, cam2, 16, 16, RenderConfig(spp=8, max_depth=3),
+                   key=jax.random.PRNGKey(42))
+    got2 = np.asarray(film2.radiance_mean())
+    want2 = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tests", "golden", "config2.npy"))
+    per_px = np.abs(got2 - want2).max(axis=-1)
+    dev_frac = float(np.mean(per_px > 0.01))
+    mean_err = float(np.mean(per_px))
+    ok = dev_frac <= 0.02 and mean_err < 2e-3
+    checks["golden_render_config2"] = {
+        "deviating_px_frac": round(dev_frac, 6),
+        "mean_abs_err": round(mean_err, 8), "pass": ok}
+    print(f"golden_render_config2: dev_frac={dev_frac:.4f} "
+          f"mean_err={mean_err:.2e} -> {'PASS' if ok else 'FAIL'}")
+    all_ok &= ok
+
     # ---- big-scene streaming traversal (rows beyond the VMEM budget)
     from mc_path_tracer_tpu.models.primitives import uv_sphere
     from mc_path_tracer_tpu.models.scene import Scene
@@ -276,17 +294,21 @@ def main():
     sbig.set_environment_color((0.5, 0.5, 0.5), ls=1.0)
     mb = sbig.add_material(albedo=(0.7, 0.7, 0.7), roughness=0.6)
     rng = np.random.default_rng(3)
+    # ~1.0M triangles -> >8192 leaves: exercises BOTH the HBM-streaming DMA
+    # ring AND the multi-page SMEM worklist (r4) on real hardware
     for k in range(10):
         c = rng.uniform(-6, 6, 3); c[1] = abs(c[1])
         p, nn, uvs, idx = uv_sphere(
-            1.2, center=tuple(c), rings=160, segments=160)
+            1.2, center=tuple(c), rings=224, segments=224)
         sbig.add_mesh(p, idx, normals=nn, uvs=uvs, material_id=mb)
     sdb = sbig.build()
     n_tri = sdb.tris.num_triangles
     n_leaf = sdb.leaf.num_leaves if sdb.leaf is not None else 0
     streaming = n_leaf > tk.MAX_LEAVES
+    n_chunks = -(-n_leaf // 128)
+    n_pages = -(-n_chunks // tk.PAGE_CHUNKS)
     mark(f"big scene built: {n_tri} tris, {n_leaf} leaves, "
-         f"streaming={streaming}")
+         f"streaming={streaming}, pages={n_pages}")
     rob = jnp.asarray(rng.uniform(-8, 8, (2048, 3)).astype(np.float32))
     rdb = jnp.asarray(rng.normal(size=(2048, 3)).astype(np.float32))
     rdb = rdb / jnp.linalg.norm(rdb, axis=-1, keepdims=True)

@@ -105,7 +105,9 @@ def main():
         return i.astype(jnp.float32) * 1e-5
 
     table = sd.leaf
-    CONFIGS = ((1024, 64, False), (1024, 64, True), (2048, 128, True))
+    CONFIGS = ((1024, 64, True), (1024, 128, True), (1024, 256, True),
+               (1024, 1024, True), (512, 32, True), (512, 64, True),
+               (2048, 128, True))
     for blk, sb, ls in CONFIGS:
             def closest(c, i, blk=blk, sb=sb, ls=ls):
                 o, d, m = bo + j(i), bd, live
