@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 
-def main(write_path="SCALING_r03.json"):
+def main(write_path="SCALING_r04.json"):
     import dataclasses
 
     import jax
@@ -108,7 +108,7 @@ def main(write_path="SCALING_r03.json"):
     # --- projection from measured single-chip rate (BENCH_r03 when
     # present; else the last recorded bench) ---
     chip_mrays = None
-    for f in ("BENCH_r03.json", "BENCH_r02.json"):
+    for f in ("BENCH_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
         try:
             with open(f) as fh:
                 d = json.load(fh)
@@ -140,17 +140,30 @@ def main(write_path="SCALING_r03.json"):
                        "tracing (shard_map local loops)",
     }
 
+    proj["modelled"] = True
+
+    # --- ONE measured DCN datapoint: the real 2-process jax.distributed
+    # topology (tests/multihost_worker.py), timed warm.  On this machine
+    # both processes share 2 CPU cores, so the wall clock measures the
+    # DISTRIBUTED-PATH OVERHEAD (cross-process gather + runtime), not chip
+    # scaling — recorded as what it is.
+    dcn_measured = _measure_dcn(log)
+
     result = {
         "metric": "multi-device scaling evidence",
         "platform": devices[0].platform,
         "virtual_mesh": on_cpu,
+        "virtual_mesh_walltime_note": (
+            "per_mesh wall_ms are 8 virtual devices on 2 CPU cores: "
+            "correctness evidence only, NOT a scaling measurement"),
         "shards_bitequal_all_meshes": all_equal,
         "per_mesh": per_mesh,
         "comm_bytes": {
             "film_gather_per_frame": out_gather_bytes,
             "param_grad_allreduce_per_step": grad_bytes,
         },
-        "projection": proj,
+        "measured_dcn_2proc": dcn_measured,
+        "modelled_projection": proj,
     }
     if write_path:
         with open(write_path, "w") as fh:
@@ -162,6 +175,53 @@ def main(write_path="SCALING_r03.json"):
         "unit": "bool",
         "vs_baseline": proj.get("projected_efficiency_4_hosts") or 0.0,
     }))
+
+
+def _measure_dcn(log):
+    """Spawn the real 2-process jax.distributed topology and collect its
+    measured warm wall clocks (sharded 8-dev across 2 processes vs local
+    single-device)."""
+    import os
+    import socket
+    import subprocess
+    import tempfile
+
+    s = socket.socket(); s.bind(("localhost", 0))
+    port = s.getsockname()[1]; s.close()
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "multihost_worker.py")
+    env = dict(os.environ); env.pop("XLA_FLAGS", None)
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"mh_{p}.npz") for p in range(2)]
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(p), "2", str(port), outs[p]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for p in range(2)]
+        for p in procs:
+            try:
+                p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                return {"ok": False, "error": "timeout"}
+        if any(p.returncode != 0 for p in procs):
+            return {"ok": False, "error": "worker failed"}
+        d = np.load(outs[0])
+        rec = {
+            "ok": bool(d["ok"]),
+            "topology": "2 processes x 4 virtual CPU devices, "
+                        "jax.distributed over localhost",
+            "frame": "64x32 x 1 spp depth 2",
+            "wall_s_sharded_2proc": round(float(d["t_sharded_s"]), 3),
+            "wall_s_single_device_local": round(float(d["t_single_s"]), 3),
+            "note": "both processes share 2 physical cores: this measures "
+                    "the distributed runtime + cross-process film-gather "
+                    "overhead, the only DCN quantity measurable on a "
+                    "1-chip host",
+            "measured": True,
+        }
+        log(f"dcn 2-proc measured: {rec}")
+        return rec
 
 
 if __name__ == "__main__":

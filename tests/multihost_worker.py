@@ -80,6 +80,16 @@ mesh = Mesh(np.asarray(jax.devices()), (TILE_AXIS,))
 key = jax.random.PRNGKey(0)
 acc = render_sharded_global(sd, cam, width, height, cfg, key, mesh)
 jax.block_until_ready(acc)
+# measured 2-process wall clock (warm; includes the cross-process film
+# gather over the distributed backend) — the one empirical DCN datapoint
+# this 1-chip environment can produce (SCALING r4)
+import time  # noqa: E402
+
+t0 = time.perf_counter()
+jax.block_until_ready(
+    render_sharded_global(sd, cam, width, height, cfg,
+                          jax.random.PRNGKey(1), mesh))
+t_sharded = time.perf_counter() - t0
 
 # single-device reference of the full frame, computed locally
 ys, xs = np.mgrid[0:height, 0:width]
@@ -88,6 +98,12 @@ py = jnp.asarray(ys.reshape(-1), jnp.float32)
 ref = np.asarray(
     render_tile_radiance(sd, cam, width, height, px, py, key, cfg, cfg.spp)
 )
+f_single = jax.jit(lambda k: render_tile_radiance(
+    sd, cam, width, height, px, py, k, cfg, cfg.spp))
+jax.block_until_ready(f_single(key))
+t0 = time.perf_counter()
+jax.block_until_ready(f_single(jax.random.PRNGKey(1)))
+t_single = time.perf_counter() - t0
 
 rows_per_dev = width * height // (4 * nproc)
 ok = True
@@ -100,6 +116,9 @@ for shard in acc.addressable_shards:
         ok = False
     checked += 1
 
-np.savez(out_path, ok=ok, checked=checked, nproc=nproc, proc=proc_id)
-print(f"proc {proc_id}: checked {checked} shards, ok={ok}", flush=True)
+np.savez(out_path, ok=ok, checked=checked, nproc=nproc, proc=proc_id,
+         t_sharded_s=t_sharded, t_single_s=t_single)
+print(f"proc {proc_id}: checked {checked} shards, ok={ok} "
+      f"sharded={t_sharded*1e3:.0f}ms single={t_single*1e3:.0f}ms",
+      flush=True)
 sys.exit(0 if ok and checked == 4 else 1)
