@@ -291,3 +291,20 @@ def test_object_trs_rotation_scale_about_centroid():
     aniso = s.objects[obj].bake()
     nn = np.asarray(aniso.n0)
     np.testing.assert_allclose(np.linalg.norm(nn, axis=-1), 1.0, atol=1e-4)
+
+
+def test_scene_build_cache_and_camera_notify():
+    """Camera-only notify (content=False) restarts accumulation without a
+    rebuild; content edits invalidate the cached SceneData (ADVICE r3
+    medium: the fly-cam paid a full BVH rebuild per input tick)."""
+    s = scene()
+    d1 = s.build()
+    v0 = s.version
+    assert s.build() is d1            # cached
+    s.notify(content=False)           # camera move
+    assert s.version == v0 + 1
+    assert s.build() is d1            # still cached: no geometry change
+    s.add_directional_light((0, 1, 0), ls=1.0)  # content edit
+    d2 = s.build()
+    assert d2 is not d1               # cache invalidated
+    assert s.build() is d2
