@@ -104,6 +104,15 @@ class RenderConfig:
     # draws an independent wb and traces it separately, mat_mix:331-345).
     # Ignored under reference_quirks, which keeps the two-sample estimator.
     reuse_brdf_ray: bool = True
+    # Estimator-comparison modes mirroring the reference's README figures:
+    # "mis" (default) combines both strategies with the power heuristic;
+    # "light" / "brdf" run a single strategy at full weight
+    # (README "Multiple Importance Sampling" light_samp/brdf_samp images).
+    mis_mode: str = "mis"
+    # False = sample the HDRI env uniformly over the sphere (pdf 1/4pi) —
+    # the reference's env-importance-sampling OFF comparison
+    # (README env-IS figures).
+    env_importance: bool = True
 
 
 def _on_tpu() -> bool:
@@ -255,10 +264,12 @@ def trace_radiance(
 
         # ---- light selection (logic:209-212) ----
         l_id = jnp.minimum((u[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
-        wl = sg(lights_mod.sample_dir(lights, l_id, u[:, 1:3]))
+        wl = sg(lights_mod.sample_dir(lights, l_id, u[:, 1:3],
+                                      env_importance=cfg.env_importance))
         delta = lights_mod.is_delta(lights, l_id)
         li_light = lights_mod.radiance(lights, l_id, wl)
-        pdf_light = sg(lights_mod.pdf(lights, l_id, wl))
+        pdf_light = sg(lights_mod.pdf(lights, l_id, wl,
+                                      env_importance=cfg.env_importance))
         shadow_tmax = None
         if aid >= 0:
             is_area = l_id == aid
@@ -372,7 +383,9 @@ def trace_radiance(
                 lights_mod.radiance(lights, l_id, wb),
             )
             pdf_l_at_wb_raw = jnp.where(
-                is_area, sg(pdf_sa_hit), lights_mod.pdf(lights, l_id, wb)
+                is_area, sg(pdf_sa_hit),
+                lights_mod.pdf(lights, l_id, wb,
+                               env_importance=cfg.env_importance),
             )
         elif reuse and not last:
             # shadow any-hit only (R lanes); the extension closest-hit below
@@ -385,7 +398,8 @@ def trace_radiance(
             )
             vis2 = ~isect_next.hit & ~delta & surv
             li_brdf_raw = lights_mod.radiance(lights, l_id, wb)
-            pdf_l_at_wb_raw = lights_mod.pdf(lights, l_id, wb)
+            pdf_l_at_wb_raw = lights_mod.pdf(
+                lights, l_id, wb, env_importance=cfg.env_importance)
         else:
             # one fused any-hit dispatch for BOTH the shadow ray (light
             # sample) and the brdf-sample visibility ray: 2R-lane gathers
@@ -401,7 +415,8 @@ def trace_radiance(
             visible = ~occ2[:num_rays] & alive
             vis2 = ~occ2[num_rays:] & ~delta & alive
             li_brdf_raw = lights_mod.radiance(lights, l_id, wb)
-            pdf_l_at_wb_raw = lights_mod.pdf(lights, l_id, wb)
+            pdf_l_at_wb_raw = lights_mod.pdf(
+                lights, l_id, wb, env_importance=cfg.env_importance)
         f_brdf = jnp.where(vis2[..., None], f_at_wb, 0.0)
         li_brdf = jnp.where(vis2[..., None], li_brdf_raw, 0.0)
         pdf_brdf = sg(jnp.where(vis2, pdf_at_wb, 1.0))
@@ -417,6 +432,16 @@ def trace_radiance(
         if not cfg.reference_quirks:
             w1 = jnp.where(delta, 1.0, w1)
         w2 = sg(power_heuristic(1, pdf_brdf, 1, pdf_light_at_wb))
+        if cfg.mis_mode == "light":
+            # light-sampling only (README light_samp figure): the light
+            # estimator at full weight, brdf estimator off
+            w1 = jnp.ones_like(w1)
+            w2 = jnp.zeros_like(w2)
+        elif cfg.mis_mode == "brdf":
+            # brdf-sampling only (README brdf_samp figure); delta lights
+            # are unreachable by this strategy, as in the reference
+            w1 = jnp.zeros_like(w1)
+            w2 = jnp.ones_like(w2)
         ld = jnp.where(
             (visible & (pdf_light > 0.0) & (w1 > 0.0))[..., None],
             f_light * li_light * (w1 / jnp.maximum(pdf_light, 1e-20))[..., None],

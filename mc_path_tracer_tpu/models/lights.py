@@ -267,13 +267,17 @@ def _dir_field(lights: LightSet, light_id: jnp.ndarray, field: jnp.ndarray, fill
     return vals
 
 
-def sample_dir(lights: LightSet, light_id: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+def sample_dir(lights: LightSet, light_id: jnp.ndarray, u2: jnp.ndarray,
+               env_importance: bool = True) -> jnp.ndarray:
     """Light-sampling direction wi for each ray's chosen light id.
 
     Matches dLight::dir dispatch: env -> CDF (or uniform sphere) sample,
-    directional -> fixed direction.
+    directional -> fixed direction.  `env_importance=False` samples the
+    HDRI env uniformly over the sphere (pdf 1/4pi) — the reference's
+    "importance sampling off" comparison mode (README env-IS figures;
+    EnvironmentLight.cu Color-mode sampling, :12-17).
     """
-    if env_is_hdri(lights.env):
+    if env_is_hdri(lights.env) and env_importance:
         wi_env, _ = envmap.sample_direction(lights.env.dist, u2)
     else:
         wi_env = envmap.sample_color_mode(u2)
@@ -319,9 +323,10 @@ def radiance(lights: LightSet, light_id: jnp.ndarray, wi: jnp.ndarray) -> jnp.nd
     return jnp.where((light_id == 0)[..., None], l_env, l_dir)
 
 
-def pdf(lights: LightSet, light_id: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+def pdf(lights: LightSet, light_id: jnp.ndarray, wi: jnp.ndarray,
+        env_importance: bool = True) -> jnp.ndarray:
     """Solid-angle pdf for each ray's chosen light."""
-    if env_is_hdri(lights.env):
+    if env_is_hdri(lights.env) and env_importance:
         p_env = envmap.pdf(lights.env.dist, wi)
     else:
         p_env = jnp.full(wi.shape[:-1], INV_4PI, jnp.float32)

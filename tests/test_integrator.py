@@ -209,3 +209,40 @@ def test_render_progressive_matches_render():
     # same estimator, different key folding -> agree in expectation
     assert abs(prog.mean() - full.mean()) / full.mean() < 0.35
     assert np.isfinite(prog).all()
+
+
+def test_estimator_comparison_modes_agree_in_expectation():
+    """light-only / brdf-only / MIS / uniform-env modes are all unbiased
+    estimators of the same integral (the reference's README comparison
+    figures); their converged means must agree within MC noise."""
+    from mc_path_tracer_tpu.models.primitives import uv_sphere
+    from mc_path_tracer_tpu.models.scene import Scene
+    from mc_path_tracer_tpu.models.integrator import render
+
+    rng = np.random.default_rng(5)
+    tex = rng.uniform(0.1, 1.0, size=(16, 32, 3)).astype(np.float32)
+    tex[4:7, 8:12] = 25.0  # bright lamp: makes IS vs uniform interesting
+    s = Scene()
+    s.set_environment_hdr(tex, ls=1.0)
+    m = s.add_material(albedo=(0.7, 0.6, 0.5), roughness=0.6)
+    p, n, uv, idx = uv_sphere(0.9, rings=10, segments=16)
+    s.add_mesh(p, idx, normals=n, uvs=uv, material_id=m)
+    cam = PerspectiveCamera(position=np.array([0.0, 0.4, 3.0]),
+                            target=np.array([0.0, 0.0, 0.0]))
+
+    means = {}
+    for name, cfg in {
+        "mis": RenderConfig(spp=96, max_depth=2),
+        "light": RenderConfig(spp=96, max_depth=2, mis_mode="light"),
+        "brdf": RenderConfig(spp=192, max_depth=2, mis_mode="brdf"),
+        "uniform_env": RenderConfig(spp=192, max_depth=2,
+                                    env_importance=False),
+    }.items():
+        img = np.asarray(
+            render(s, cam, 12, 12, cfg, key=jax.random.PRNGKey(1))
+            .radiance_mean())
+        assert np.isfinite(img).all(), name
+        means[name] = float(img.mean())
+    ref = means["mis"]
+    for name, m_ in means.items():
+        assert abs(m_ - ref) < 0.25 * ref, (name, means)

@@ -285,6 +285,54 @@ def main():
           f"mean_err={mean_err:.2e} -> {'PASS' if ok else 'FAIL'}")
     all_ok &= ok
 
+    # ---- gradients ON CHIP: path-replay backward vs finite differences
+    # (the differentiable path had only ever been validated on the CPU
+    # mesh; the driver's BASELINE gradient axis wants it on hardware)
+    from mc_path_tracer_tpu.models.integrator import trace_radiance
+    from mc_path_tracer_tpu.models import camera as camera_mod2
+
+    sd1 = s1.build()
+    cam1p = cam1.params() if hasattr(cam1, "params") else cam1
+    ys, xs = np.mgrid[0:8, 0:8]
+    pxg = jnp.asarray(xs.reshape(-1), jnp.float32)
+    pyg = jnp.asarray(ys.reshape(-1), jnp.float32)
+    rog, rdg = camera_mod2.gen_camera_rays(
+        cam1p, 8, 8, pxg, pyg, jnp.zeros((64, 2), jnp.float32))
+    gkey = jax.random.PRNGKey(3)
+    gcfg = RenderConfig(spp=1, max_depth=2)
+
+    @jax.jit
+    def loss(albedo, ls):
+        mats = sd1.materials._replace(
+            albedo=jnp.broadcast_to(albedo, sd1.materials.albedo.shape))
+        dl = sd1.lights.directional._replace(
+            ls=sd1.lights.directional.ls.at[0].set(ls))
+        sd2 = sd1._replace(
+            materials=mats, lights=sd1.lights._replace(directional=dl))
+        return jnp.sum(trace_radiance(sd2, rog, rdg, gkey, gcfg))
+
+    a0 = jnp.array([0.8, 0.8, 0.8])
+    g_albedo, g_ls = jax.jit(jax.grad(loss, argnums=(0, 1)))(a0, 2.0)
+    eps = 1e-2
+    fd_ls = (float(loss(a0, 2.0 + eps)) - float(loss(a0, 2.0 - eps))) / (2 * eps)
+    e = jnp.array([eps, 0.0, 0.0])
+    fd_a = (float(loss(a0 + e, 2.0)) - float(loss(a0 - e, 2.0))) / (2 * eps)
+    ls_err = abs(float(g_ls) - fd_ls) / max(abs(fd_ls), 1e-8)
+    a_err = abs(float(g_albedo[0]) - fd_a) / max(abs(fd_a), 1e-8)
+    ok = bool(ls_err < 1e-2 and a_err < 2e-2 and abs(fd_ls) > 1e-3
+              and abs(fd_a) > 1e-3
+              and np.isfinite(np.asarray(g_albedo)).all())
+    checks["gradients_on_chip"] = {
+        "g_ls": round(float(g_ls), 5), "fd_ls": round(fd_ls, 5),
+        "g_albedo0": round(float(g_albedo[0]), 5),
+        "fd_albedo0": round(fd_a, 5),
+        "rel_err_ls": round(ls_err, 6), "rel_err_albedo": round(a_err, 6),
+        "pass": ok}
+    print(f"gradients_on_chip: ls {float(g_ls):.4f} vs fd {fd_ls:.4f}; "
+          f"albedo0 {float(g_albedo[0]):.4f} vs fd {fd_a:.4f} -> "
+          f"{'PASS' if ok else 'FAIL'}")
+    all_ok &= ok
+
     # ---- big-scene streaming traversal (rows beyond the VMEM budget)
     from mc_path_tracer_tpu.models.primitives import uv_sphere
     from mc_path_tracer_tpu.models.scene import Scene

@@ -1,0 +1,132 @@
+"""Reproduce the reference README's estimator-comparison figures with the
+assets it ships (the dragon glb is not in the repo; Suzanne stands in):
+
+  mis_light / mis_brdf / mis_combined: red glossy Suzanne on a metallic
+      floor under night_free_Env.hdr (the reference's MIS scene family:
+      light_samp.png / brdf_samp.png / ground_t.png).  Same spp each:
+      light-only is noisy on glossy, brdf-only on diffuse-under-small-
+      lamps, MIS clean — the README's headline claim.
+  envis_on / envis_off: Suzanne under HDR_029_Sky_Cloudy at EQUAL spp with
+      env CDF importance sampling on vs uniform-sphere sampling
+      (ENV_importance_sampling_{on,off}_hard.png).
+
+Writes results/*.png (+ f16 npy) and appends a table to RESULTS_r04.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+OUT = "/root/repo/results"
+REF_MODELS = "/root/reference/models"
+REF_HDRI = "/root/reference/hrdi"
+
+
+def main():
+    import jax
+
+    from mc_path_tracer_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from mc_path_tracer_tpu.models.camera import PerspectiveCamera
+    from mc_path_tracer_tpu.models.integrator import RenderConfig, render
+    from mc_path_tracer_tpu.models.scene import Scene
+    from mc_path_tracer_tpu.models.primitives import plane
+    from mc_path_tracer_tpu.ops import tonemap
+    from mc_path_tracer_tpu.utils.image import load_hdr, write_png
+
+    def log(m):
+        print(m, flush=True)
+
+    os.makedirs(OUT, exist_ok=True)
+    stats = []
+
+    def shoot(name, scene, cam, cfg, size, exposure=1.0):
+        w, h = size
+        t0 = time.time()
+        film = render(scene, cam, w, h, cfg, key=jax.random.PRNGKey(0))
+        mean = np.asarray(jax.block_until_ready(film.radiance_mean()))
+        dt = time.time() - t0
+        img = np.asarray(tonemap.quantize(tonemap.reinhard(
+            film.ld, film.samples, exposure)))
+        np.save(os.path.join(OUT, f"{name}.npy"), mean.astype(np.float16))
+        write_png(os.path.join(OUT, f"{name}.png"), img)
+        rec = {"name": name, "size": [w, h], "spp": cfg.spp,
+               "depth": cfg.max_depth, "wall_s": round(dt, 1),
+               "mean": round(float(mean.mean()), 5)}
+        log(f"{name}: {rec}")
+        stats.append(rec)
+        return mean
+
+    # ---- MIS comparison scene (ground_t.png analogue) ----
+    def mis_scene():
+        s = Scene()
+        s.load(os.path.join(REF_MODELS, "Suzanne.glb"))
+        # restyle: red glossy body on a metallic floor (dragon-on-table)
+        for i in range(len(s.material_albedo)):
+            s.material_albedo[i] = np.asarray([0.9, 0.05, 0.05], np.float32)
+            s.material_roughness[i] = 0.35
+            s.material_metallic[i] = 0.0
+        floor = s.add_material(albedo=(0.6, 0.6, 0.75), roughness=0.25,
+                               metallic=0.9)
+        p, n, uv, idx = plane(30.0)
+        p = p + np.asarray([0.0, -1.0, 0.0], np.float32)
+        s.add_mesh(p, idx, normals=n, uvs=uv, material_id=floor)
+        env = load_hdr(os.path.join(REF_HDRI, "night_free_Env.hdr"))
+        s.set_environment_hdr(env, ls=1.0)
+        return s
+
+    cam = PerspectiveCamera(position=np.array([0.0, 0.6, 3.4]),
+                            target=np.array([0.0, 0.1, 0.0]), fov_deg=45.0)
+    size = (512, 288)
+    spp, depth = 64, 3
+    for mode in ("light", "brdf", "mis"):
+        shoot(f"mis_{mode}", mis_scene(), cam,
+              RenderConfig(spp=spp, max_depth=depth, mis_mode=mode),
+              size, exposure=2.0)
+
+    # ---- env importance sampling on/off at equal spp ----
+    def env_scene():
+        s = Scene()
+        s.load(os.path.join(REF_MODELS, "Suzanne.glb"))
+        for i in range(len(s.material_albedo)):
+            s.material_albedo[i] = np.asarray([0.75, 0.75, 0.75], np.float32)
+            s.material_roughness[i] = 0.8
+        env = load_hdr(os.path.join(REF_HDRI, "night_free_Env.hdr"))
+        s.set_environment_hdr(env, ls=1.0)
+        return s
+
+    for name, imp in (("envis_on", True), ("envis_off", False)):
+        shoot(name, env_scene(), cam,
+              RenderConfig(spp=16, max_depth=3, env_importance=imp),
+              size, exposure=2.0)
+
+    with open("/root/repo/RESULTS_r04.md", "a") as f:
+        f.write("\n## Estimator-comparison figures (reference README "
+                "analogues)\n\n")
+        f.write("Same-spp comparisons reproducing the reference's result "
+                "images with its shipped assets (Suzanne stands in for the "
+                "unshipped dragon): light-sampling vs brdf-sampling vs MIS "
+                "(README light_samp/brdf_samp/ground_t), and env CDF "
+                "importance sampling on vs uniform-sphere off at equal spp "
+                "(README ENV_importance_sampling_* figures).\n\n")
+        f.write("| figure | size | spp | depth | wall s | mean |\n"
+                "|---|---|---|---|---|---|\n")
+        for r in stats:
+            f.write(f"| {r['name']} | {r['size'][0]}x{r['size'][1]} | "
+                    f"{r['spp']} | {r['depth']} | {r['wall_s']} | "
+                    f"{r['mean']} |\n")
+        f.write("\n" + json.dumps(stats) + "\n")
+    log("appended RESULTS_r04.md")
+
+
+if __name__ == "__main__":
+    main()
