@@ -206,6 +206,11 @@ def make_env_color(color=(1.0, 1.0, 1.0), ls=1.0) -> EnvLight:
 
 
 def make_env_hdri(tex, ls=1.0) -> EnvLight:
+    """HDRI env light.  NOTE (reference parity): in HDRI mode `ls` is
+    stored but radiance() returns the raw texture sample — exactly the
+    reference's dEnvironmentLight::compute_L, which multiplies ls only in
+    Color mode (EnvironmentLight.cu:34-47).  Scale the texture itself to
+    change HDRI brightness."""
     tex = jnp.asarray(tex, jnp.float32)
     return EnvLight(
         color=jnp.ones(3, jnp.float32),

@@ -81,7 +81,10 @@ def main():
         p = p + np.asarray([0.0, -1.0, 0.0], np.float32)
         s.add_mesh(p, idx, normals=n, uvs=uv, material_id=floor)
         env = load_hdr(os.path.join(REF_HDRI, "night_free_Env.hdr"))
-        s.set_environment_hdr(env, ls=1.0)
+        # the raw night env is dim outside its lamps; scale the TEXTURE
+        # (HDRI-mode ls is a parity no-op, EnvironmentLight.cu:34-47) so
+        # the figure reads like the reference's exposure-graded images
+        s.set_environment_hdr(env * 8.0)
         return s
 
     cam = PerspectiveCamera(position=np.array([0.0, 0.6, 3.4]),
@@ -91,7 +94,7 @@ def main():
     for mode in ("light", "brdf", "mis"):
         shoot(f"mis_{mode}", mis_scene(), cam,
               RenderConfig(spp=spp, max_depth=depth, mis_mode=mode),
-              size, exposure=2.0)
+              size, exposure=3.0)
 
     # ---- env importance sampling on/off at equal spp ----
     def env_scene():
@@ -101,13 +104,13 @@ def main():
             s.material_albedo[i] = np.asarray([0.75, 0.75, 0.75], np.float32)
             s.material_roughness[i] = 0.8
         env = load_hdr(os.path.join(REF_HDRI, "night_free_Env.hdr"))
-        s.set_environment_hdr(env, ls=1.0)
+        s.set_environment_hdr(env * 8.0)
         return s
 
     for name, imp in (("envis_on", True), ("envis_off", False)):
         shoot(name, env_scene(), cam,
               RenderConfig(spp=16, max_depth=3, env_importance=imp),
-              size, exposure=2.0)
+              size, exposure=3.0)
 
     with open("/root/repo/RESULTS_r04.md", "a") as f:
         f.write("\n## Estimator-comparison figures (reference README "
