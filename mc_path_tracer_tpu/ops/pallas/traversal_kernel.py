@@ -57,15 +57,18 @@ from mc_path_tracer_tpu.ops.intersect import (
 from mc_path_tracer_tpu.ops.math import K_EPSILON, K_HUGE
 from mc_path_tracer_tpu.ops.wide_bvh import LANES, N_COMP, _META_COMP, WideBVH
 
-# 1024-ray blocks of 16 x 64-ray subgroups: with per-subgroup visit pruning
-# the big outer block amortizes phase 0/1 and G-loads while subgroups keep
-# the MT work tight.  A/B on incoherent bounce rays (tools/ab_block.py, r3):
-# closest 48.0 (256/256) -> 37.8 (256/64) -> 32.2 (512/64) -> 29.4 ms
-# (1024/64); any-hit 82.5 -> 54.2 ms.  16 subgroups is also the exactness
-# cap for the f32 bitmask rows (sums of 2^s stay integer-exact < 2^24).
-RAY_BLOCK = 1024
+# 2048-ray blocks of 16 x 128-ray subgroups: the big outer block amortizes
+# phases -1..1 while per-subgroup visit pruning keeps the MT work tight.
+# A/B history on incoherent bounce rays (tools/ab_block.py): r3 closest
+# 48.0 (256/256) -> 29.4 ms (1024/64 MXU visits); r4 VPU visits + sorted
+# worklist: closest 23.2 (1024/64) -> 21.6 (2048/128), any-hit 37.2 ->
+# 35.2; strided bench 533 -> 529 ms/block.  Subgroup pruning itself is
+# worth 4x (sub=block measured 93.6 ms).  16 subgroups is also the
+# exactness cap for the f32 bitmask rows (sums of 2^s stay integer-exact
+# < 2^24).
+RAY_BLOCK = 2048
 # subgroup width for phase-2 visit pruning (see _make_kernel docstring)
-SUB_BLOCK = 64
+SUB_BLOCK = 128
 _FAR = 3e37
 
 # leaf rows resident in VMEM: [L, 10, 128] f32 = L * 5 KB.  Budget 4 MB of
