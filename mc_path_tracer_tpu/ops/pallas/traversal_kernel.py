@@ -2,40 +2,42 @@
 
 This is the make-or-break Mrays/s kernel (SURVEY.md §7 "hard parts"): the
 XLA wide-BVH traversal (ops/wide_bvh.py) is bound by HBM gather bandwidth —
-every visited node is a fresh 5 KB row gather per ray.  Here the whole leaf
-table lives in VMEM and rays are processed in 512-ray blocks with *per-block
-scalar control flow*, which XLA cannot express but Pallas can.  Everything
-happens in ONE kernel per block (measured: XLA versions of the cull phase
-cost 50-100x more than the same math on-chip — 52 ms for the slab product,
-45 ms for a [128, 640] argsort — and a strided [·, L, 8] schedule DMA costs
-~270 us/block, so nothing is precomputed outside):
+every visited node is a fresh 5 KB row gather per ray.  Here rays are
+processed in RAY_BLOCK-ray blocks with *per-block scalar control flow*,
+which XLA cannot express but Pallas can.  Everything happens in ONE kernel
+per block (measured: XLA versions of the cull phase cost 50-100x more than
+the same math on-chip — 52 ms for the slab product, 45 ms for a [128, 640]
+argsort — and a strided [·, L, 8] schedule DMA costs ~270 us/block, so
+nothing is precomputed outside):
 
-  phase 0 (vector): slab-test the block's 512 rays against every leaf AABB,
-     128 leaves at a time (boxes are VMEM-resident, component-major), and
-     reduce to the block-min entry distance per leaf.
-  phase 1 (scalar): compact the active leaves into an SMEM worklist
-     (unconditional write + conditional advance — no branches), skipping
-     128-leaf chunks with no activity; then a backward sweep writes the
-     suffix-min of the entry distances.
+  phase -1 (vector): slab-test the block against the 128-leaf cluster
+     AABBs so phase 0 runs only for touched chunks (O(touched), not O(L)).
+  phase 0 (vector): slab-test the block's rays against each touched
+     chunk's leaf AABBs (boxes are VMEM-resident, component-major), reduce
+     to the block-min entry distance per leaf + a per-leaf bitmask of
+     touching SUB_BLOCK-ray subgroups.
+  phase 1 (vector histogram + scalar placement): counting-sort the active
+     leaves into the SMEM worklist in near-to-far order of block-min entry
+     distance; a backward sweep then writes the suffix-min oracle.
   phase 2: walk the worklist.  Each visit is ONE dynamic VMEM row slice
-     ([10, 128] leaf: 128 inline triangles, component-major) plus a fully
-     vectorized [512, 128] Moller-Trumbore on the VPU — no gathers, no
-     per-lane divergence.  A visit is skipped when the leaf's entry
-     distance exceeds every live ray's current best hit, and the loop
-     BREAKS when the suffix-min does (no later leaf can matter) — the
-     vector analogue of the reference's near-child-first stack traversal
-     with tMax pruning (Triangle.cu:156-200).  The any-hit variant instead
-     exits when every live ray is occluded (intersect_shadows,
-     Triangle.cu:204-248).
+     ([10, 128] leaf: 128 inline triangles, component-major) plus a direct
+     [SUB_BLOCK, 128] Moller-Trumbore on the VPU per touching, unresolved
+     subgroup — no gathers, no per-lane divergence.  The loop BREAKS when
+     the suffix-min exceeds every live ray's best hit (closest; the vector
+     analogue of the reference's near-child-first stack traversal with
+     tMax pruning, Triangle.cu:156-200) or when every live ray is occluded
+     (any-hit; intersect_shadows, Triangle.cu:204-248).
 
 Semantics match the reference exactly: Moller-Trumbore with backface
 culling (det >= K_EPSILON), t >= 0, optional per-ray t_max for bounded
 shadow rays (Triangle.cu:19-40, 74, 204-248).
 
-Scale: the leaf table must fit in VMEM (LEAF_VMEM_LIMIT); larger scenes
-fall back to the XLA wide path (ops/wide_bvh.py) — an HBM-streaming
-double-buffered variant is the designed extension (the SMEM worklist is
-exactly a DMA prefetch schedule).
+Scale: tables up to MAX_LEAVES keep rows VMEM-resident; beyond that rows
+stay in HBM and each visit streams its 5 KB row through a 2-slot DMA ring
+(the sorted SMEM worklist IS the prefetch schedule); beyond one SMEM page
+the phases run per 8192-leaf page with best-hit/occlusion state carried
+across pages, up to MAX_LEAVES_PAGED (~8.4M inline triangles).  Larger
+scenes fall back to the XLA wide path (ops/wide_bvh.py).
 """
 
 from __future__ import annotations
