@@ -221,6 +221,9 @@ def trace_radiance(
     `pid` keys each lane's random stream (the renderer passes pixel ids, so
     noise is invariant to chunking/sharding); defaults to array position.
     """
+    if cfg.mis_mode not in ("mis", "light", "brdf"):
+        raise ValueError(f"unknown mis_mode {cfg.mis_mode!r} "
+                         "(expected 'mis', 'light' or 'brdf')")
     num_rays = ray_o.shape[0]
     if pid is None:
         pid = jnp.arange(num_rays, dtype=jnp.int32)

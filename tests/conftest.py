@@ -67,6 +67,9 @@ _SLOW_TESTS = {
     "test_normal_map_neutral_texture_matches_untextured",
     "test_directional_lambertian_analytic",
     "test_shade_attrs_packed_matches_unpacked",
+    "test_estimator_comparison_modes_agree_in_expectation",
+    "test_paged_worklist_matches_brute_multi_page",
+    "test_preview_specular_ibl_metal_reflects_env",
 }
 
 
