@@ -177,10 +177,14 @@ def main():
     traced_per_sample = 2 * depth - 1                    # with ray sharing
     total_rays = width * height * spp * rays_per_sample
     mrays = total_rays / frame_s / 1e6
+    traced_mrays = width * height * spp * traced_per_sample / frame_s / 1e6
     log(f"steady block: {dt_block*1e3:.1f} ms; frame ({n_blocks} blocks): {frame_s:.2f}s")
     log(f"samples/s: {width*height*spp/frame_s/1e6:.2f} M; traced rays/s: "
-        f"{width*height*spp*traced_per_sample/frame_s/1e6:.2f} M "
+        f"{traced_mrays:.2f} M "
         f"({traced_per_sample}/sample vs reference {rays_per_sample})")
+    # the JSON artifact is self-describing (VERDICT r4 #3): `value` counts
+    # reference-equivalent work (12 rays/sample delivered); traced_mrays_s
+    # counts the 9 rays/sample the shared-sample estimator actually traces
     print(
         json.dumps(
             {
@@ -188,6 +192,13 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "traced_mrays_s": round(traced_mrays, 2),
+                "rays_per_sample": {
+                    "reference": rays_per_sample,
+                    "traced": traced_per_sample,
+                },
+                "frame_s": round(frame_s, 2),
+                "spp_timed": spp,
             }
         )
     )

@@ -902,12 +902,14 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
             pltpu.VMEM((2, N_COMP, LANES), jnp.float32),  # DMA row ring
             pltpu.SemaphoreType.DMA((2,)),
         ] if stream else []),
-        # the resident route sits within ~100 KB of the default 16 MB scoped
-        # budget (3 MB leaf table + I/O double buffering + unrolled-subgroup
-        # temporaries); give the compiler the explicit ceiling so the small
-        # phase -1 / counting-sort scratch doesn't tip it over
+        # the resident route peaks just past the default 16 MB scoped budget
+        # (3 MB leaf table + I/O double buffering + unrolled-subgroup
+        # temporaries measured 16.36 MB at a 2048-ray block); 24 MB gives
+        # that headroom without masking real VMEM-footprint regressions
+        # (ADVICE r4 — the old 100 MB ceiling existed only for the
+        # rows-resident big-scene experiment, a documented null result)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
     )(packed, table.rows, table.base, table.boxes_t, table.cboxes_t)

@@ -87,3 +87,31 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.full)
         else:
             item.add_marker(pytest.mark.quick)
+
+
+# Duration guard (ADVICE r4): every test not hand-listed above defaults to
+# the quick marker, so a newly added slow test would silently land in the
+# < 3 min smoke suite.  Fail quick-marked tests that exceed the budget so
+# the miscuration surfaces as a red test instead of a slow smoke run.
+_QUICK_BUDGET_S = 20.0
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    report = outcome.get_result()
+    if (
+        report.when == "call"
+        and report.passed
+        and call.duration > _QUICK_BUDGET_S
+        and item.get_closest_marker("quick") is not None
+    ):
+        report.outcome = "failed"
+        report.longrepr = (
+            f"{item.nodeid}: took {call.duration:.1f}s but is marked "
+            f"'quick' (budget {_QUICK_BUDGET_S:.0f}s). Add it to "
+            "_SLOW_TESTS in tests/conftest.py."
+        )

@@ -63,7 +63,8 @@ def main():
           + local[:, 2:3] * hit.normal)
     bo = hit.position + hit.normal * 0.001
     live = np.asarray(hit.hit)
-    perm, _ = _sort_perm(bd, jnp.asarray(live))
+    # the real dispatch sort: octant-grouped with block-local fine bins
+    perm, _ = _sort_perm(bd, jnp.asarray(live), block=2048)
     perm = np.asarray(perm)
     o = np.asarray(bo)[perm]
     d = np.asarray(bd)[perm]
@@ -86,28 +87,30 @@ def main():
         return ((tn <= tf) & (tf >= 0.0)) & lv_[:, None]   # [r, L]
 
     # process in chunks to bound memory
-    tot = {64: 0, 128: 0, 256: 0}
-    blocks = 0
+    GROUPS = (8, 16, 32, 64, 128, 256, 2048)
+    tot = {g: 0 for g in GROUPS}
     per_ray = 0
     n_rays = 0
     for c in range(0, R, 4096):
         h = leaf_hits(o[c:c + 4096], inv[c:c + 4096], lv[c:c + 4096])
         per_ray += h.sum()
         n_rays += lv[c:c + 4096].sum()
-        for g in (64, 128, 256):
+        for g in GROUPS:
             hh = h.reshape(-1, g, n_leaf).any(axis=1)   # [blocks, L]
             tot[g] += hh.sum()
-        blocks += h.shape[0] // 256
     print(f"leaves={n_leaf}  live rays={int(n_rays)}")
     print(f"mean leaf-AABB hits per live ray: {per_ray / max(n_rays,1):.1f}")
-    for g in (256, 128, 64):
-        per_block_visits = tot[g] / (R // g)
-        # visits normalized to 256-ray-block MT cost units (a g-ray visit
-        # costs ~g/256 of a 256-ray visit in epilogue, same matmul weight)
-        rel = tot[g] * (g / 256) / tot[256]
-        print(f"subgroup {g:3d}: mean union {per_block_visits:7.1f} "
-              f"leaves/visit-group; epilogue-weighted cost vs 256-blocks: "
-              f"{rel:.2f}x")
+    print(f"union worklist per 2048-ray block: {tot[2048] / (R // 2048):.1f}")
+    # vector-cost model for a per-subgroup-worklist phase 2 (r5 design):
+    # each g-ray subgroup visits only ITS union; a visit costs a [10,128]
+    # row load (10 vreg cycles) + ceil(g/8) vregs x ~35 MT ops.
+    for g in GROUPS[:-1]:
+        visits_per_block = tot[g] / (R // 2048) / (2048 // g) * (2048 // g)
+        per_sub = tot[g] / (R // g)
+        vcycles = (tot[g] / (R // 2048)) * (10 + max(g // 8, 1) * 35)
+        print(f"subgroup {g:4d}: mean union {per_sub:7.1f} leaves; "
+              f"visits/2048-block {visits_per_block:7.0f}; "
+              f"modeled vector cycles/block {vcycles/1e3:7.1f}k")
 
 
 if __name__ == "__main__":
