@@ -102,8 +102,14 @@ class RenderConfig:
     # and one sample_wi + f + pdf evaluation per bounce (the standard
     # hit-emitter MIS formulation; still unbiased — the reference instead
     # draws an independent wb and traces it separately, mat_mix:331-345).
-    # Ignored under reference_quirks, which keeps the two-sample estimator.
-    reuse_brdf_ray: bool = True
+    # Default OFF since r5: the shared sample correlates the brdf-side MIS
+    # term with the continued path's radiance and measured ~1.45x
+    # per-sample variance on glossy surfaces (parity on diffuse) — see
+    # tests/test_integrator.py::test_reuse_estimator_variance_pinned.  The
+    # two-sample default matches the reference's estimator shape exactly;
+    # enable reuse for diffuse-dominant interactive workloads where the
+    # ~25% ray saving wins.  Ignored under reference_quirks.
+    reuse_brdf_ray: bool = False
     # Estimator-comparison modes mirroring the reference's README figures:
     # "mis" (default) combines both strategies with the power heuristic;
     # "light" / "brdf" run a single strategy at full weight

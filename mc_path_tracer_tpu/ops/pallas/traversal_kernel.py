@@ -776,6 +776,529 @@ def _make_kernel(any_hit: bool, n_leaves: int, l_pad: int,
 
 
 # ---------------------------------------------------------------------------
+# Arena kernel: per-subgroup compacted worklists (r5)
+# ---------------------------------------------------------------------------
+#
+# The union-worklist kernel above pays, per visited leaf, 16 scalar subgroup
+# gates plus a [SUB_BLOCK, 128] MT for every subgroup that touches it — and
+# host-side analysis (tools/subgroup_analysis.py) shows the touch sets are
+# tiny: a live bounce ray overlaps only ~2.5 leaf AABBs, an 8-ray subgroup
+# ~7, a 32-ray subgroup ~17, while the 2048-ray block union is ~240.  The
+# arena kernel therefore compacts the sorted union worklist into
+# PER-SUBGROUP worklists (a shared SMEM arena carved by prefix-summed touch
+# counts), and phase 2 walks each subgroup's own near-to-far list with no
+# gates, a [sub, 128] VPU Moller-Trumbore per visit, and a per-subgroup
+# early break — cutting phase-2 vector work ~2.6-5x at sub=32..8 (modeled;
+# the A/B in tools/ab_block.py measures it).  Resident single-page tables
+# only; streaming/paged scenes keep the union kernel above.
+
+# shared arena capacity in (subgroup, leaf) visit pairs; a block whose
+# per-subgroup touch lists don't fit falls back in-kernel to an ungated
+# full-block walk of the union worklist (rare: the mean is ~1-2k pairs)
+ARENA_PAIRS = 8192
+# default subgroup width for the arena kernel (A/B'd separately from the
+# union kernel's SUB_BLOCK; see PROFILE_r05.md)
+ARENA_SUB = 64
+# visits per phase-2 loop iteration: row loads + MTs of a group are
+# independent and pipeline; break checks amortize over the group
+ARENA_UNROLL = 8
+
+
+def _bit_index(x):
+    """Index of the (isolated, power-of-two) bit x in [1, 2^15]: 4-step
+    scalar binary search (Mosaic has no ctz)."""
+    b = jnp.int32(0)
+    c8 = x >= 256
+    b = b + jnp.where(c8, 8, 0)
+    x = jnp.where(c8, jax.lax.shift_right_logical(x, 8), x)
+    c4 = x >= 16
+    b = b + jnp.where(c4, 4, 0)
+    x = jnp.where(c4, jax.lax.shift_right_logical(x, 4), x)
+    c2 = x >= 4
+    b = b + jnp.where(c2, 2, 0)
+    x = jnp.where(c2, jax.lax.shift_right_logical(x, 2), x)
+    return b + jnp.where(x >= 2, 1, 0)
+
+
+def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
+                       block: int, unroll: int = ARENA_UNROLL,
+                       static_row: bool = False):
+    # static_row: DIAGNOSTIC ONLY (tools/ab_block.py) — phase 2 reads row 0
+    # instead of the worklist row, isolating the dynamic-row-load cost.
+    # Results are wrong; never routed from the public wrappers.
+    n_chunks = l_pad // LANES        # <= 5 for resident tables (MAX_LEAVES)
+    nc_pad = 8                       # sublane-aligned chunk-matrix height
+    assert n_chunks <= nc_pad
+    n_sub = block // sub
+    n_words = -(-n_sub // 16)        # 16-bit subgroup-touch words
+    cap = l_pad + 8                  # union worklist capacity (incl. tail)
+
+    def kernel(rays_ref, rows_ref, base_ref, boxes_ref, cboxes_ref, out_ref,
+               tn_mat, tn_t, bk_mat, bk_t, bits_mat, bits_t, cf_mat, cf_t,
+               flags_sm, cflag_sm, n_sm, list_sm, tn_sm, blo_sm, suff_sm,
+               bits2_sm, off_sm, cnt_sm, off2_sm, cur_sm,
+               ar_leaf, ar_tn, ar_blo, best_a, best_b):
+        b = rays_ref.shape[0]
+        live = rays_ref[:, 6:7] > 0.5
+
+        if any_hit:
+            best_a[:, :] = jnp.zeros((b, 1), jnp.float32)
+        else:
+            best_a[:, :] = jnp.full((b, 1), K_HUGE, jnp.float32)
+            best_b[:, :] = jnp.full((b, 1), -1.0, jnp.float32)
+        alive = jnp.max(rays_ref[:, 6:7]) > 0.5
+
+        @pl.when(alive)
+        def _phases():
+            ox, oy, oz = rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3]
+            dx, dy, dz = rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6]
+            t_max = rays_ref[:, 7:8]
+            eps = 1e-12
+            ix = jnp.reciprocal(jnp.where(jnp.abs(dx) > eps, dx,
+                                          jnp.where(dx >= 0, eps, -eps)))
+            iy = jnp.reciprocal(jnp.where(jnp.abs(dy) > eps, dy,
+                                          jnp.where(dy >= 0, eps, -eps)))
+            iz = jnp.reciprocal(jnp.where(jnp.abs(dz) > eps, dz,
+                                          jnp.where(dz >= 0, eps, -eps)))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            lane_s = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
+
+            def _slab(boxes, sl):
+                t0 = (boxes[0:1, sl] - ox) * ix
+                t1 = (boxes[3:4, sl] - ox) * ix
+                tn = jnp.minimum(t0, t1)
+                tf = jnp.maximum(t0, t1)
+                t0 = (boxes[1:2, sl] - oy) * iy
+                t1 = (boxes[4:5, sl] - oy) * iy
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                t0 = (boxes[2:3, sl] - oz) * iz
+                t1 = (boxes[5:6, sl] - oz) * iz
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                return tn, tf
+
+            # ---- phase -1: chunk cull against cluster AABBs ----
+            tn_mat[:, :] = jnp.full((nc_pad, LANES), _FAR, jnp.float32)
+            bits_mat[:, :] = jnp.zeros((n_words * nc_pad, LANES), jnp.float32)
+            ctn, ctf = _slab(cboxes_ref, slice(0, LANES))
+            chit = (ctn <= ctf) & (ctf >= 0.0) & live
+            if any_hit:
+                chit = chit & (ctn <= t_max)
+            chit = chit & (lane < n_chunks)
+            cf_mat[:, :] = jnp.zeros((8, LANES), jnp.float32)
+            cf_mat[0:1, :] = jnp.max(jnp.where(chit, 1.0, 0.0), axis=0,
+                                     keepdims=True)
+            cf_t[:, :] = cf_mat[:, :].T
+            for cl in range(n_chunks):
+                cflag_sm[cl] = (cf_t[cl, 0] > 0.5).astype(jnp.int32)
+                flags_sm[cl] = 0
+            for s_i in range(n_sub):
+                cnt_sm[s_i] = 0
+
+            # ---- phase 0: per-leaf block-min entry distance, subgroup
+            # touch bitmask words, and per-subgroup touch counts ----
+            for cl in range(n_chunks):
+                @pl.when(cflag_sm[cl] == 1)
+                def _(cl=cl):
+                    sl = slice(cl * LANES, (cl + 1) * LANES)
+                    tn, tf = _slab(boxes_ref, sl)
+                    hit = (tn <= tf) & (tf >= 0.0) & live
+                    if any_hit:
+                        hit = hit & (tn <= t_max)
+                    n_here = n_leaves - cl * LANES
+                    if n_here < LANES:
+                        hit = hit & (lane < n_here)
+                    tnm = jnp.where(hit, jnp.maximum(tn, 0.0), _FAR)
+                    tnb = jnp.min(tnm, axis=0, keepdims=True)
+                    tn_mat[cl:cl + 1, :] = tnb
+                    flags_sm[cl] = (jnp.min(tnb) < _FAR).astype(jnp.int32)
+                    hitf = jnp.where(hit, 1.0, 0.0)
+                    for w in range(n_words):
+                        bits = jnp.zeros((1, LANES), jnp.float32)
+                        for bb in range(16):
+                            s_i = w * 16 + bb
+                            if s_i >= n_sub:
+                                break
+                            hs = jnp.max(hitf[s_i * sub:(s_i + 1) * sub],
+                                         axis=0, keepdims=True)
+                            bits = bits + hs * float(1 << bb)
+                            cnt_sm[s_i] = cnt_sm[s_i] + jnp.sum(hs).astype(
+                                jnp.int32
+                            )
+                        bits_mat[w * nc_pad + cl:w * nc_pad + cl + 1, :] = bits
+
+            # ---- phase 1: near-to-far counting sort into the union list
+            # (identical scheme to the union kernel) ----
+            tmin = jnp.min(tn_mat[:, :])
+            fin = tn_mat[:, :] < _FAR
+            tmax = jnp.max(jnp.where(fin, tn_mat[:, :], -_FAR))
+            inv_scale = jnp.maximum(tmax - tmin, 1e-30) / float(N_BUCKETS)
+            scale = jnp.reciprocal(inv_scale)
+            q = jnp.clip((tn_mat[:, :] - tmin) * scale, 0.0,
+                         float(N_BUCKETS - 1))
+            bk_mat[:, :] = jnp.where(fin, jnp.floor(q), float(N_BUCKETS))
+            tn_t[:, :] = tn_mat[:, :].T
+            bk_t[:, :] = bk_mat[:, :].T
+            bits_t[:, :] = bits_mat[:, :].T
+
+            for k in range(N_BUCKETS):
+                off_sm[k + 1] = jnp.sum(
+                    (bk_mat[:, :] == float(k)).astype(jnp.float32)
+                ).astype(jnp.int32)
+            off_sm[0] = 0
+            for k in range(N_BUCKETS):
+                off_sm[k + 1] = off_sm[k] + off_sm[k + 1]
+            n_sm[0] = off_sm[N_BUCKETS]
+
+            for cl in range(n_chunks):
+                @pl.when(flags_sm[cl] == 1)
+                def _(cl=cl):
+                    def body(j, _):
+                        bkt = bk_t[j, cl].astype(jnp.int32)
+                        pos = off_sm[bkt]
+                        list_sm[pos] = cl * LANES + j
+                        tn_sm[pos] = tn_t[j, cl]
+                        # conservative lower bound for every later entry
+                        # (buckets are non-decreasing along the list):
+                        # floor(q) <= q  =>  tmin + bkt*inv_scale <= tn, up
+                        # to f32 rounding — the 1-2e-6 margin absorbs it
+                        blo_sm[pos] = (
+                            tmin
+                            + bkt.astype(jnp.float32) * inv_scale * 0.999998
+                        )
+                        for w in range(n_words):
+                            bits2_sm[w * cap + pos] = bits_t[
+                                j, w * nc_pad + cl
+                            ].astype(jnp.int32)
+                        off_sm[bkt] = pos + 1
+                        return 0
+
+                    jax.lax.fori_loop(0, LANES, body, 0)
+
+            n = n_sm[0]
+
+            # ---- phase 1c: carve the arena (prefix-sum of touch counts)
+            off2_sm[0] = 0
+            for s_i in range(n_sub):
+                off2_sm[s_i + 1] = off2_sm[s_i] + cnt_sm[s_i]
+                cur_sm[s_i] = off2_sm[s_i]
+            ovf = off2_sm[n_sub] > ARENA_PAIRS
+            n_sm[1] = ovf.astype(jnp.int32)
+
+            # ---- phase 1d: distribute sorted union entries into the
+            # per-subgroup lists (iterates exactly the set bits)
+            @pl.when(jnp.logical_not(ovf))
+            def _place():
+                def body(i, _):
+                    t_i = tn_sm[i]
+                    b_i = blo_sm[i]
+                    l_i = list_sm[i]
+                    for w in range(n_words):
+                        v0 = bits2_sm[w * cap + i]
+
+                        def wbody(v, w=w):
+                            lsb = v & (-v)
+                            s_i = w * 16 + _bit_index(lsb)
+                            pos = cur_sm[s_i]
+                            ar_leaf[pos] = l_i
+                            ar_tn[pos] = t_i
+                            ar_blo[pos] = b_i
+                            cur_sm[s_i] = pos + 1
+                            return v & (v - 1)
+
+                        jax.lax.while_loop(lambda v: v != 0, wbody, v0)
+                    return 0
+
+                jax.lax.fori_loop(0, n, body, 0)
+
+            # ---- phase 2 (arena): each subgroup walks its own list.
+            # STATIC unroll over subgroups (dynamic sublane slices measured
+            # ~600 serial cycles/visit in the first arena cut — static
+            # slices are near-free), and ARENA_UNROLL visits per loop
+            # iteration: the row loads + MTs of a group are independent and
+            # pipeline in the VLIW schedule; the serial break/bound check
+            # runs once per group on the merged state (stale by at most
+            # ARENA_UNROLL-1 visits — conservative, never wrong).
+            @pl.when(jnp.logical_not(ovf))
+            def _walk():
+                for s in range(n_sub):
+                    sl_ = slice(s * sub, (s + 1) * sub)
+                    oxs, oys, ozs = ox[sl_], oy[sl_], oz[sl_]
+                    dxs, dys, dzs = dx[sl_], dy[sl_], dz[sl_]
+                    lives = live[sl_]
+                    start = off2_sm[s]
+                    end = off2_sm[s + 1]
+                    if any_hit:
+                        tms = t_max[sl_]
+
+                        # branchless group: occlusion accumulates PER LANE
+                        # (one vector OR per visit, no cross-lane reduce);
+                        # the done check reduces the accumulator once per
+                        # group.  Out-of-list visits fold into the valid
+                        # mask; their row index is clamped in-bounds.
+                        def bd(c, oxs=oxs, oys=oys, ozs=ozs, dxs=dxs,
+                               dys=dys, dzs=dzs, lives=lives, tms=tms,
+                               end=end):
+                            j, _, acc = c
+                            for k in range(unroll):
+                                l = ar_leaf[j + k]
+                                if static_row:
+                                    row = rows_ref[0]
+                                else:
+                                    row = rows_ref[jnp.clip(
+                                        l, 0, n_leaves - 1)]
+                                valid, tt, _, _ = _mt_leaf(
+                                    row, oxs, oys, ozs, dxs, dys, dzs
+                                )
+                                valid = valid & lives & (tt <= tms)
+                                if k > 0:
+                                    valid = valid & (j + k < end)
+                                # f32 accumulator: Mosaic cannot carry an
+                                # i1 vector through an scf.while
+                                acc = jnp.maximum(
+                                    acc, jnp.where(valid, 1.0, 0.0)
+                                )
+                            done = jnp.min(jnp.where(
+                                lives,
+                                jnp.max(acc, axis=1, keepdims=True),
+                                1.0,
+                            )) >= 0.5
+                            return j + unroll, done, acc
+
+                        _, _, acc = jax.lax.while_loop(
+                            lambda c: (c[0] < end) & jnp.logical_not(c[1]),
+                            bd,
+                            (start, start >= end,
+                             jnp.zeros((sub, LANES), jnp.float32)),
+                        )
+                        best_a[sl_, :] = jnp.maximum(
+                            best_a[sl_, :],
+                            jnp.max(acc, axis=1, keepdims=True),
+                        )
+                    else:
+                        def bd(c, oxs=oxs, oys=oys, ozs=ozs, dxs=dxs,
+                               dys=dys, dzs=dzs, lives=lives, sl_=sl_,
+                               end=end):
+                            j, _ = c
+                            for k in range(unroll):
+                                def _v(k=k):
+                                    l = ar_leaf[j + k]
+                                    row = rows_ref[0] if static_row else rows_ref[l]
+                                    valid, tt, _, _ = _mt_leaf(
+                                        row, oxs, oys, ozs, dxs, dys, dzs
+                                    )
+                                    valid = valid & lives
+                                    # packed argmin: t >= 0 so its f32 bit
+                                    # pattern orders like the value; clear
+                                    # the low 7 mantissa bits and pack the
+                                    # lane index there, then ONE lane-min
+                                    # reduce yields winner t AND lane
+                                    # (replacing two 128-lane reductions).
+                                    # t is quantized by <= 2^-17 relative;
+                                    # the exact winner t is recomputed by
+                                    # the host epilogue (_winner_uvt), and
+                                    # the break bound compensates below.
+                                    ti = jax.lax.bitcast_convert_type(
+                                        tt, jnp.int32
+                                    )
+                                    key = jnp.where(
+                                        valid, (ti & -128) | lane_s,
+                                        jnp.int32(2**31 - 1),
+                                    )
+                                    kb = jnp.min(key, axis=1, keepdims=True)
+                                    bk = jax.lax.bitcast_convert_type(
+                                        best_a[sl_, :], jnp.int32
+                                    )
+                                    closer = kb < bk
+                                    best_a[sl_, :] = (
+                                        jax.lax.bitcast_convert_type(
+                                            jnp.where(closer, kb, bk),
+                                            jnp.float32,
+                                        )
+                                    )
+                                    best_b[sl_, :] = jnp.where(
+                                        closer,
+                                        base_ref[l, 0]
+                                        + (kb & 127).astype(jnp.float32),
+                                        best_b[sl_, :],
+                                    )
+                                if k == 0:
+                                    _v()
+                                else:
+                                    pl.when(j + k < end)(_v)
+                            # 1 + 2^-16 margin: best_a carries t quantized
+                            # DOWN (plus lane bits), so the raw max could
+                            # break one leaf too early
+                            tsub2 = jnp.max(jnp.where(
+                                lives, best_a[sl_, :], -1.0
+                            )) * 1.0000153
+                            jn = j + unroll
+                            stop = jnp.where(
+                                jn < end, ar_blo[jn] > tsub2, False
+                            )
+                            return jn, stop
+
+                        jax.lax.while_loop(
+                            lambda c: (c[0] < end) & jnp.logical_not(c[1]),
+                            bd, (start, start >= end),
+                        )
+
+            # ---- phase 2 (overflow fallback): ungated full-block walk of
+            # the sorted union list with the block-level break.  Rare (the
+            # arena covers the measured distribution with ~4-8x headroom);
+            # correctness path, not a fast path.
+            @pl.when(ovf)
+            def _fallback():
+                if not any_hit:
+                    suff_sm[n] = _FAR
+
+                    def back(j, m):
+                        idx = n - 1 - j
+                        m = jnp.minimum(m, tn_sm[idx])
+                        suff_sm[idx] = m
+                        return m
+
+                    jax.lax.fori_loop(0, n, back, jnp.float32(_FAR))
+
+                    def bd(c):
+                        i, tblk, _ = c
+
+                        @pl.when(tn_sm[i] <= tblk)
+                        def _visit():
+                            l = list_sm[i]
+                            row = rows_ref[l]
+                            valid, tt, _, _ = _mt_leaf(
+                                row, ox, oy, oz, dx, dy, dz
+                            )
+                            valid = valid & live
+                            t_best = best_a[:, :]
+                            tmask = jnp.where(
+                                valid & (tt < t_best), tt, K_HUGE
+                            )
+                            tb = jnp.min(tmask, axis=1, keepdims=True)
+                            is_min = (tmask <= tb) & (tmask < K_HUGE)
+                            lane_b = jax.lax.broadcasted_iota(
+                                jnp.int32, (b, LANES), 1
+                            )
+                            first = jnp.min(
+                                jnp.where(is_min, lane_b, LANES),
+                                axis=1, keepdims=True,
+                            )
+                            closer = tb < t_best
+                            best_a[:, :] = jnp.where(closer, tb, t_best)
+                            best_b[:, :] = jnp.where(
+                                closer,
+                                base_ref[l, 0] + first.astype(jnp.float32),
+                                best_b[:, :],
+                            )
+
+                        tblk2 = jnp.max(jnp.where(live, best_a[:, :], -1.0))
+                        stop = suff_sm[i + 1] > tblk2
+                        return i + 1, tblk2, stop
+
+                    jax.lax.while_loop(
+                        lambda c: (c[0] < n) & jnp.logical_not(c[2]),
+                        bd, (jnp.int32(0),
+                             jnp.max(jnp.where(live, K_HUGE, -1.0)),
+                             n == 0),
+                    )
+                else:
+                    def bd(c):
+                        i, _ = c
+                        row = rows_ref[list_sm[i]]
+                        valid, tt, _, _ = _mt_leaf(
+                            row, ox, oy, oz, dx, dy, dz
+                        )
+                        valid = valid & live & (tt <= t_max)
+                        hit_here = jnp.max(
+                            jnp.where(valid, 1.0, 0.0),
+                            axis=1, keepdims=True,
+                        )
+                        nb = jnp.maximum(best_a[:, :], hit_here)
+                        best_a[:, :] = nb
+                        done = jnp.min(jnp.where(live, nb, 1.0)) >= 0.5
+                        return i + 1, done
+
+                    jax.lax.while_loop(
+                        lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                        bd, (jnp.int32(0), n == 0),
+                    )
+
+        out_ref[:, 0:1] = best_a[:, :]
+        if not any_hit:
+            out_ref[:, 3:4] = jnp.where(
+                best_a[:, :] < K_HUGE, best_b[:, :], -1.0
+            )
+
+    return kernel
+
+
+def _traverse_arena(table: LeafTable, packed, any_hit, interpret,
+                    block: int, sub: int, unroll: int = ARENA_UNROLL,
+                    static_row: bool = False):
+    r_pad = packed.shape[0]
+    nb = r_pad // block
+    l_pad = table.l_pad
+    n_sub = block // sub
+    assert block % sub == 0 and sub % 8 == 0 and n_sub <= 256
+    cap = l_pad + 8
+    kernel = _make_arena_kernel(any_hit, table.num_leaves, l_pad, sub, block,
+                                unroll=unroll, static_row=static_row)
+    n_words = -(-n_sub // 16)
+    nc_pad = 8
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rows (resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # base
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # boxes_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cboxes_t
+        ],
+        out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nc_pad, LANES), jnp.float32),        # tn_mat
+            pltpu.VMEM((LANES, nc_pad), jnp.float32),        # tn_t
+            pltpu.VMEM((nc_pad, LANES), jnp.float32),        # bk_mat
+            pltpu.VMEM((LANES, nc_pad), jnp.float32),        # bk_t
+            pltpu.VMEM((n_words * nc_pad, LANES), jnp.float32),  # bits_mat
+            pltpu.VMEM((LANES, n_words * nc_pad), jnp.float32),  # bits_t
+            pltpu.VMEM((8, LANES), jnp.float32),             # cf_mat
+            pltpu.VMEM((LANES, 8), jnp.float32),             # cf_t
+            pltpu.SMEM((nc_pad,), jnp.int32),                # flags
+            pltpu.SMEM((nc_pad,), jnp.int32),                # cflag
+            pltpu.SMEM((8,), jnp.int32),                     # n / ovf
+            pltpu.SMEM((cap,), jnp.int32),                   # union list
+            pltpu.SMEM((cap,), jnp.float32),                 # union tn
+            pltpu.SMEM((cap,), jnp.float32),                 # union bucket-lo
+            pltpu.SMEM((cap + 1,), jnp.float32),             # suffix minima
+            pltpu.SMEM((n_words * cap,), jnp.int32),         # union bits
+            pltpu.SMEM((N_BUCKETS + 2,), jnp.int32),         # bucket offsets
+            pltpu.SMEM((n_sub + 8,), jnp.int32),             # touch counts
+            pltpu.SMEM((n_sub + 8,), jnp.int32),             # arena offsets
+            pltpu.SMEM((n_sub + 8,), jnp.int32),             # arena cursors
+            pltpu.SMEM((ARENA_PAIRS + 8,), jnp.int32),       # arena leaf ids
+            pltpu.SMEM((ARENA_PAIRS + 8,), jnp.float32),     # arena tn
+            pltpu.SMEM((ARENA_PAIRS + 8,), jnp.float32),     # arena bucket-lo
+            pltpu.VMEM((block, 1), jnp.float32),             # best t / occ
+            pltpu.VMEM((block, 1), jnp.float32),             # best tri id
+        ],
+        # measured scoped need 25.5 MB at block=2048/sub=16 (the unrolled
+        # phase-0 subgroup reduces spill the [block,128] hit matrix); 32 MB
+        # gives bounded headroom on the 128 MB-VMEM part
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(packed, table.rows, table.base, table.boxes_t, table.cboxes_t)
+
+
+# ---------------------------------------------------------------------------
 # Host-facing wrappers
 # ---------------------------------------------------------------------------
 
@@ -844,7 +1367,11 @@ def _pack_rays(ro, rd, mask, t_max, r_pad):
 
 def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
               block: int = RAY_BLOCK, stream: bool | None = None,
-              sub: int = SUB_BLOCK):
+              sub: int | None = None, mode: str = "auto",
+              unroll: int = ARENA_UNROLL, static_row: bool = False):
+    """mode: "auto" routes resident single-page tables to the arena kernel
+    (per-subgroup worklists) and everything else to the union kernel;
+    "arena"/"union" force a kernel for A/B harnesses."""
     r = ro.shape[0]
     r_pad = -(-r // block) * block
     packed = _pack_rays(ro, rd, mask, t_max, r_pad)
@@ -853,6 +1380,18 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
     n_chunks = l_pad // LANES
     if stream is None:
         stream = table.num_leaves > MAX_LEAVES
+    arena = mode == "arena" or (
+        mode == "auto" and not stream and table.num_leaves <= MAX_LEAVES
+    )
+    if arena:
+        out = _traverse_arena(table, packed, any_hit, interpret, block,
+                              ARENA_SUB if sub is None else sub,
+                              unroll=unroll, static_row=static_row)
+        if any_hit:
+            return out[:r, 0] > 0.5
+        return out[:r, 0], out[:r, 3].astype(jnp.int32)
+    if sub is None:
+        sub = SUB_BLOCK
     assert block % sub == 0
     n_sub = block // sub
     # f32 bitmask rows hold sums of 2^s exactly only below the 24-bit

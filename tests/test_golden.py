@@ -17,9 +17,10 @@ def _cases():
     from mc_path_tracer_tpu.models.integrator import RenderConfig, render
 
     def make(n, cfg, size=16):
+        w, h = size if isinstance(size, tuple) else (size, size)
         scene, cam, _, _ = configs.ALL_CONFIGS[n]()
         return lambda: render(
-            scene, cam, size, size, cfg, key=jax.random.PRNGKey(42)
+            scene, cam, w, h, cfg, key=jax.random.PRNGKey(42)
         ).radiance_mean()
 
     return {
@@ -31,6 +32,10 @@ def _cases():
         "config1_64": make(1, RenderConfig(spp=8, max_depth=2), 64),
         "config2_64": make(2, RenderConfig(spp=4, max_depth=3), 64),
         "config3_64": make(3, RenderConfig(spp=4, max_depth=3), 64),
+        # downsampled config5 (the 1080p/250spp rung's scene): pins the
+        # ~100k-tri LBVH + streaming-traversal chain to a CPU-verified
+        # golden (VERDICT r4 #7); 96x54 keeps the 16:9 framing
+        "config5_96x54": make(5, RenderConfig(spp=2, max_depth=3), (96, 54)),
     }
 
 
@@ -51,9 +56,11 @@ def test_golden_images():
         )
 
 
-def regen():
+def regen(only=None):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, fn in _cases().items():
+        if only and name not in only:
+            continue
         out = np.asarray(fn())
         np.save(os.path.join(GOLDEN_DIR, f"{name}.npy"), out)
         print(f"wrote {name}: mean={out.mean():.5f}")
@@ -63,6 +70,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         import conftest  # noqa: F401  (force CPU platform)
 
-        regen()
+        regen(only=sys.argv[2:] or None)
     else:
-        print("usage: python tests/test_golden.py regen")
+        print("usage: python tests/test_golden.py regen [names...]")

@@ -90,7 +90,7 @@ def main():
     bo, bd, live = jax.block_until_ready((bo, bd, live))
     log(f"live {float(jnp.mean(live.astype(jnp.float32))):.3f}")
 
-    SCAN_N = 10
+    SCAN_N = 50
     f_null = jax.jit(lambda x: x + 1.0)
     t_disp = timeit(f_null, jnp.zeros((8, 128), jnp.float32), reps=5, warmup=2)
     log(f"dispatch floor {t_disp*1e3:.1f} ms")
@@ -105,34 +105,42 @@ def main():
         return i.astype(jnp.float32) * 1e-5
 
     table = sd.leaf
-    CONFIGS = ((1024, 64, True), (1024, 128, True), (1024, 256, True),
-               (1024, 1024, True), (512, 32, True), (512, 64, True),
-               (2048, 128, True))
-    for blk, sb, ls in CONFIGS:
-            def closest(c, i, blk=blk, sb=sb, ls=ls):
+    # (mode, block, sub, unroll, static_row): union = r4 gated union-
+    # worklist kernel; arena = r5 per-subgroup worklist kernel;
+    # static_row=True is the row-load-cost DIAGNOSTIC (results wrong)
+    CONFIGS = (("arena", 2048, 64, 8, False),
+               ("arena", 2048, 32, 8, False),
+               ("arena", 2048, 128, 8, False),
+               ("union", 2048, 128, 4, False))
+    for mode, blk, sb, ur, srow in CONFIGS:
+            def closest(c, i, mode=mode, blk=blk, sb=sb, ur=ur, srow=srow):
                 o, d, m = bo + j(i), bd, live
-                perm, inv = _sort_perm(d, m, block=blk if ls else None)
+                perm, inv = _sort_perm(d, m, block=blk)
                 t, _ = _traverse(table, o[perm], d[perm], False,
-                                 m[perm], None, False, block=blk, sub=sb)
+                                 m[perm], None, False, block=blk, sub=sb,
+                                 mode=mode, unroll=ur, static_row=srow)
                 return c + jnp.sum(t[inv].clip(0, 1e6)) * 1e-9
 
             t = scan_time(closest)
-            log(f"closest blk={blk:4d} sub={sb:3d} lsort={int(ls)} {t*1e3:8.2f} ms")
+            log(f"closest {mode:5s} blk={blk:4d} sub={sb:3d} u={ur} "
+                f"srow={int(srow)} {t*1e3:8.2f} ms")
 
     # any-hit on the 128k fused-style mix
     sh = jnp.concatenate([bd, -bd], axis=0)
     so = jnp.concatenate([bo, bo], axis=0)
     sl = jnp.concatenate([live, live], axis=0)
-    for blk, sb, ls in CONFIGS:
-            def anyhit(c, i, blk=blk, sb=sb, ls=ls):
+    for mode, blk, sb, ur, srow in CONFIGS:
+            def anyhit(c, i, mode=mode, blk=blk, sb=sb, ur=ur, srow=srow):
                 o, d, m = so + j(i), sh, sl
-                perm, inv = _sort_perm(d, m, block=blk if ls else None)
+                perm, inv = _sort_perm(d, m, block=blk)
                 occ = _traverse(table, o[perm], d[perm], True,
-                                m[perm], None, False, block=blk, sub=sb)
+                                m[perm], None, False, block=blk, sub=sb,
+                                mode=mode, unroll=ur, static_row=srow)
                 return c + jnp.sum(occ[inv].astype(jnp.float32)) * 1e-9
 
             t = scan_time(anyhit)
-            log(f"anyhit  blk={blk:4d} sub={sb:3d} lsort={int(ls)} {t*1e3:8.2f} ms")
+            log(f"anyhit  {mode:5s} blk={blk:4d} sub={sb:3d} u={ur} "
+                f"srow={int(srow)} {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
