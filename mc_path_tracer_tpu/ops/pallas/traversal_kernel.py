@@ -32,12 +32,25 @@ Semantics match the reference exactly: Moller-Trumbore with backface
 culling (det >= K_EPSILON), t >= 0, optional per-ray t_max for bounded
 shadow rays (Triangle.cu:19-40, 74, 204-248).
 
-Scale: tables up to MAX_LEAVES keep rows VMEM-resident; beyond that rows
-stay in HBM and each visit streams its 5 KB row through a 2-slot DMA ring
-(the sorted SMEM worklist IS the prefetch schedule); beyond one SMEM page
-the phases run per 8192-leaf page with best-hit/occlusion state carried
-across pages, up to MAX_LEAVES_PAGED (~8.4M inline triangles).  Larger
-scenes fall back to the XLA wide path (ops/wide_bvh.py).
+Two phase-2 designs ship (r5, PROFILE_r05.md):
+  - ARENA (VMEM-resident tables, the bench/default route): the sorted
+    union worklist is further compacted into PER-SUBGROUP worklists in a
+    shared SMEM arena, and each subgroup walks only its own near-to-far
+    list — statically unrolled subgroups, ARENA_UNROLL visits per loop
+    iteration (independent row loads + MTs pipeline), a packed-argmin
+    closest epilogue and a per-lane any-hit occlusion accumulator (no
+    cross-lane reduce per visit).  Measured vs the union walk: closest
+    -29%, any-hit -41% on incoherent bounce rays.
+  - UNION (streaming/paged tables): the r4 design — one walk over the
+    sorted union list with per-subgroup scalar gates.
+
+Scale: tables up to MAX_LEAVES keep rows VMEM-resident (arena kernel);
+beyond that rows stay in HBM and each visit streams its 5 KB row through
+a 2-slot DMA ring (the sorted SMEM worklist IS the prefetch schedule);
+beyond one SMEM page the phases run per 8192-leaf page with best-hit/
+occlusion state carried across pages, up to MAX_LEAVES_PAGED (~8.4M
+inline triangles).  Larger scenes fall back to the XLA wide path
+(ops/wide_bvh.py).
 """
 
 from __future__ import annotations
@@ -1288,11 +1301,14 @@ def _traverse_arena(table: LeafTable, packed, any_hit, interpret,
             pltpu.VMEM((block, 1), jnp.float32),             # best t / occ
             pltpu.VMEM((block, 1), jnp.float32),             # best tri id
         ],
-        # measured scoped need 25.5 MB at block=2048/sub=16 (the unrolled
-        # phase-0 subgroup reduces spill the [block,128] hit matrix); 32 MB
-        # gives bounded headroom on the 128 MB-VMEM part
+        # measured scoped need: 25.5 MB standalone at block=2048/sub=16
+        # (the unrolled phase-0 subgroup reduces spill the [block,128] hit
+        # matrix) and 32.1 MB when embedded under shard_map + jax.checkpoint
+        # (XLA stacks its surrounding copies into the same scoped budget);
+        # 40 MB is bounded headroom on the 128 MB-VMEM part without
+        # masking order-of-magnitude footprint regressions
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=40 * 1024 * 1024,
         ),
         interpret=interpret,
     )(packed, table.rows, table.base, table.boxes_t, table.cboxes_t)
@@ -1441,14 +1457,14 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
             pltpu.VMEM((2, N_COMP, LANES), jnp.float32),  # DMA row ring
             pltpu.SemaphoreType.DMA((2,)),
         ] if stream else []),
-        # the resident route peaks just past the default 16 MB scoped budget
-        # (3 MB leaf table + I/O double buffering + unrolled-subgroup
-        # temporaries measured 16.36 MB at a 2048-ray block); 24 MB gives
-        # that headroom without masking real VMEM-footprint regressions
-        # (ADVICE r4 — the old 100 MB ceiling existed only for the
-        # rows-resident big-scene experiment, a documented null result)
+        # measured scoped need: 16.36 MB resident at a 2048-ray block and
+        # 25.95 MB for the streaming any-hit on an 11.4k-leaf scene; 40 MB
+        # (matching the arena kernel) gives bounded headroom without
+        # masking real VMEM-footprint regressions (ADVICE r4 — the old
+        # 100 MB ceiling existed only for the rows-resident big-scene
+        # experiment, a documented null result)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=40 * 1024 * 1024,
         ),
         interpret=interpret,
     )(packed, table.rows, table.base, table.boxes_t, table.cboxes_t)
