@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 
-def main(write_path="SCALING_r04.json"):
+def main(write_path="SCALING_r05.json"):
     import dataclasses
 
     import jax
@@ -116,7 +116,7 @@ def main(write_path="SCALING_r04.json"):
     # --- projection from measured single-chip rate (BENCH_r03 when
     # present; else the last recorded bench) ---
     chip_mrays = None
-    for f in ("BENCH_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
+    for f in ("BENCH_r05.json", "BENCH_r04.json", "BENCH_r03.json"):
         try:
             with open(f) as fh:
                 d = json.load(fh)
