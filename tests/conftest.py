@@ -69,6 +69,7 @@ _SLOW_TESTS = {
     "test_shade_attrs_packed_matches_unpacked",
     "test_estimator_comparison_modes_agree_in_expectation",
     "test_reuse_estimator_variance_pinned",
+    "test_arena_overflow_fallback_matches_brute",
     "test_paged_worklist_matches_brute_multi_page",
     "test_preview_specular_ibl_metal_reflects_env",
 }

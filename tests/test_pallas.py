@@ -276,15 +276,21 @@ def test_pallas_stream_traversal_matches_resident():
 
     tris, wide, rtris, table = _leaf_setup(n_tris=700, seed=31)
     ro, rd = random_rays(n=640, seed=32)
+    # like-for-like: both sides run the UNION kernel (r5's auto route sends
+    # resident tables to the arena kernel, whose packed-argmin t carries
+    # lane bits in the low mantissa — bit-equality only holds within one
+    # kernel design; arena-vs-oracle agreement is tested separately)
     t_r, id_r = _traverse(table, ro, rd, False, None, None, True,
-                          stream=False)
+                          stream=False, mode="union")
     t_s, id_s = _traverse(table, ro, rd, False, None, None, True,
-                          stream=True)
+                          stream=True, mode="union")
     np.testing.assert_array_equal(np.asarray(id_r), np.asarray(id_s))
     np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_s))
 
-    occ_r = _traverse(table, ro, rd, True, None, None, True, stream=False)
-    occ_s = _traverse(table, ro, rd, True, None, None, True, stream=True)
+    occ_r = _traverse(table, ro, rd, True, None, None, True, stream=False,
+                      mode="union")
+    occ_s = _traverse(table, ro, rd, True, None, None, True, stream=True,
+                      mode="union")
     np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))
 
 
@@ -349,3 +355,33 @@ def test_paged_worklist_matches_brute_multi_page():
             )
     finally:
         tk.PAGE_LEAVES, tk.PAGE_CHUNKS = old
+
+
+def test_arena_overflow_fallback_matches_brute():
+    """Blocks whose per-subgroup visit lists exceed the SMEM arena fall
+    back in-kernel to the ungated union walk (traversal_kernel._fallback).
+    Real scenes rarely trigger it (ARENA_PAIRS has ~4-8x headroom over the
+    measured distribution), so force it by shrinking the arena to nothing
+    and assert closest + any-hit still match brute."""
+    from mc_path_tracer_tpu.ops.intersect import intersect_brute, occluded_brute
+    from mc_path_tracer_tpu.ops.pallas import traversal_kernel as tk
+    from tests.test_intersect import random_rays
+
+    tris, wide, rtris, table = _leaf_setup(n_tris=400, seed=9)
+    ro, rd = random_rays(n=300, seed=10)
+    old = tk.ARENA_PAIRS
+    tk.ARENA_PAIRS = 4   # every non-empty block overflows
+    try:
+        out = tk.intersect_pallas(table, rtris, ro, rd, interpret=True)
+        occ = tk.occluded_pallas(table, ro, rd, interpret=True)
+    finally:
+        tk.ARENA_PAIRS = old
+    ref = intersect_brute(tris, ro, rd)
+    np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ), np.asarray(occluded_brute(tris, ro, rd))
+    )
