@@ -416,7 +416,9 @@ class Scene:
             lights=lights_mod.LightSet(env=self.env, directional=dl, area=al),
             atlas=build_atlas(self.textures),
             wide=wide,
-            leaf=build_leaf_table(wide),  # None when over the stream budget
+            # None when over the stream budget; width=None auto-merges
+            # resident-sized tables to ARENA_LEAF_W-wide rows
+            leaf=build_leaf_table(wide, width=None),
         )
         self._build_cache = (self.edit_version, data)
         return data

@@ -110,17 +110,29 @@ PAGE_CHUNKS = PAGE_LEAVES // LANES
 MAX_LEAVES_PAGED = 65536
 MAX_LEAVES_STREAM = PAGE_LEAVES  # back-compat alias (single-page cap)
 
+# Leaf-row width for VMEM-resident tables (arena kernel): merging K = W/128
+# DFS-adjacent 128-tri leaves into one [10, W] row (chunk-aligned, per-chunk
+# base indices) halves/quarters the visit count at the same table bytes.
+# PROFILE_r05's A/B law says per-visit FIXED cost dominates the arena walk
+# (~73% at sub=64: solving the sub=32/64/128 timings gives ~7.6 fixed vs
+# ~2.8 vector units/visit), so wider rows trade cheap vector lanes for the
+# expensive per-visit loop machinery.  The r4 "leaf width is optimal"
+# argument only ruled out NARROWER leaves.  A/B'd on chip in
+# tools/ab_width.py; streaming/paged tables stay at 128 (union kernel).
+ARENA_LEAF_W = LANES
+
 
 @dataclass(frozen=True)
 class LeafTable:
     """Flat leaf-only view of the wide BVH for the Pallas traversal.
 
-    rows      [L, 10, 128] f32 — leaf rows (v0/e1/e2 component-major,
-              comp 9 lane 1 = base triangle index, lane 2 = count)
+    rows      [L, 10, W] f32 — leaf rows (v0/e1/e2 component-major,
+              comp 9 lane 128j+1 = base triangle index of member chunk j,
+              lane 128j+2 = its count; W = 128 or a merged multiple)
     boxes_t   [8, L_pad] f32 — leaf AABBs transposed, component-major
               (rows 0-5 = bmin.xyz / bmax.xyz; rows 6-7 pad)
-    base      [L, 1] f32 — base triangle index per leaf (sublane-major so
-              the kernel can scalar-read it)
+    base      [L, W/128] f32 — base triangle index per member chunk
+              (sublane-major so the kernel can scalar-read it)
     cboxes_t  [8, 128] f32 — cluster AABBs, one per 128-leaf chunk of the
               table (leaves are in wide-BVH DFS order, so consecutive
               leaves are spatially coherent).  Phase -1 culls whole chunks
@@ -139,6 +151,10 @@ class LeafTable:
         return self.rows.shape[0]
 
     @property
+    def width(self) -> int:
+        return self.rows.shape[2]
+
+    @property
     def l_pad(self) -> int:
         return self.boxes_t.shape[1]
 
@@ -150,7 +166,8 @@ jax.tree_util.register_dataclass(
 
 
 def build_leaf_table(
-    wide: WideBVH, max_leaves: int = MAX_LEAVES_PAGED
+    wide: WideBVH, max_leaves: int = MAX_LEAVES_PAGED,
+    width: int | None = LANES,
 ) -> LeafTable | None:
     """Extract the leaf rows of a WideBVH and their AABBs (host numpy).
 
@@ -158,13 +175,23 @@ def build_leaf_table(
     traverse with HBM rows + double-buffered DMA (chosen per dispatch in
     _traverse), paged through SMEM in PAGE_LEAVES batches beyond one page.
     Returns None beyond MAX_LEAVES_PAGED (callers fall back to the XLA
-    wide traversal)."""
+    wide traversal).
+
+    `width` (None = auto): leaf-row width in triangle lanes.  Widths above
+    LANES merge K = width/128 DFS-adjacent leaves into one chunk-aligned
+    [10, width] row (member j occupies lanes 128j..128j+127; `base` becomes
+    [L, K], one base per member chunk) with the union AABB — fewer, fatter
+    visits for the arena kernel at identical table bytes.  Auto picks
+    ARENA_LEAF_W for resident-sized tables and 128 for streaming/paged
+    ones (the union kernel's DMA ring and page machinery are 128-wide)."""
     table = np.asarray(wide.rows)
     is_leaf = table[:, _META_COMP, 0] > 0.5
     rows = table[is_leaf]
     n = rows.shape[0]
     if n == 0 or n > max_leaves:
         return None
+    if width is None:
+        width = ARENA_LEAF_W if n <= MAX_LEAVES else LANES
     # AABB per leaf from its inline triangles (v0, v0+e1, v0+e2), masking
     # the zero-padded absent lanes by count
     counts = rows[:, _META_COMP, 2].astype(np.int64)
@@ -178,6 +205,36 @@ def build_leaf_table(
     small = np.where(present[None, :, None, :], pts, -np.inf)
     bmin = big.min(axis=(0, 3))   # [L, 3]
     bmax = small.max(axis=(0, 3))
+    base = rows[:, _META_COMP, 1:2].astype(np.float32)
+    k = width // LANES
+    if k > 1:
+        lm = -(-n // k)
+        pad = lm * k - n
+        if pad:
+            rows = np.concatenate(
+                [rows, np.zeros((pad, N_COMP, LANES), np.float32)], axis=0
+            )
+            base = np.concatenate(
+                [base, np.zeros((pad, 1), np.float32)], axis=0
+            )
+            bmin = np.concatenate(
+                [bmin, np.full((pad, 3), np.inf)], axis=0
+            )
+            bmax = np.concatenate(
+                [bmax, np.full((pad, 3), -np.inf)], axis=0
+            )
+        # chunk-aligned merge: member j of merged row m is original leaf
+        # m*k + j at lanes 128j..128j+127 (zero-padded members carry zero
+        # triangles -> det 0 -> culled, and a 0 base that can never win)
+        rows = (
+            rows.reshape(lm, k, N_COMP, LANES)
+            .transpose(0, 2, 1, 3)
+            .reshape(lm, N_COMP, width)
+        )
+        base = base.reshape(lm, k)
+        bmin = bmin.reshape(lm, k, 3).min(axis=1)
+        bmax = bmax.reshape(lm, k, 3).max(axis=1)
+        n = lm
     l_pad = -(-n // 128) * 128
     boxes_t = np.zeros((8, l_pad), np.float32)
     # padding boxes are masked by static lane index in the kernel (an
@@ -186,7 +243,6 @@ def build_leaf_table(
     boxes_t[3:6, :] = -1.0
     boxes_t[0:3, :n] = bmin.T
     boxes_t[3:6, :n] = bmax.T
-    base = rows[:, _META_COMP, 1:2].astype(np.float32)
     # cluster AABBs: union of each 128-leaf chunk (DFS-adjacent leaves).
     # One 128-lane column block per 8192-leaf page: page p's chunk cl sits
     # at column p*128 + cl (lanes PAGE_CHUNKS..127 of each block unused).
@@ -835,7 +891,7 @@ def _bit_index(x):
 
 def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                        block: int, unroll: int = ARENA_UNROLL,
-                       static_row: bool = False):
+                       static_row: bool = False, width: int = LANES):
     # static_row: DIAGNOSTIC ONLY (tools/ab_block.py) — phase 2 reads row 0
     # instead of the worklist row, isolating the dynamic-row-load cost.
     # Results are wrong; never routed from the public wrappers.
@@ -845,6 +901,12 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
     n_sub = block // sub
     n_words = -(-n_sub // 16)        # 16-bit subgroup-touch words
     cap = l_pad + 8                  # union worklist capacity (incl. tail)
+    w = width                        # leaf-row triangle lanes (128 * n_k)
+    n_k = width // LANES             # member chunks per merged row
+    assert width % LANES == 0 and (width & (width - 1)) == 0
+    # packed-argmin quantization: clearing the low log2(w) mantissa bits of
+    # a non-negative f32 t changes it by <= w ulp ~ w * 2^-23 relative
+    argmin_margin = 1.0 + width * 2.0 ** -23
 
     def kernel(rays_ref, rows_ref, base_ref, boxes_ref, cboxes_ref, out_ref,
                tn_mat, tn_t, bk_mat, bk_t, bits_mat, bits_t, cf_mat, cf_t,
@@ -874,7 +936,7 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
             iz = jnp.reciprocal(jnp.where(jnp.abs(dz) > eps, dz,
                                           jnp.where(dz >= 0, eps, -eps)))
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-            lane_s = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
+            lane_s = jax.lax.broadcasted_iota(jnp.int32, (sub, w), 1)
 
             def _slab(boxes, sl):
                 t0 = (boxes[0:1, sl] - ox) * ix
@@ -1083,7 +1145,7 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                             lambda c: (c[0] < end) & jnp.logical_not(c[1]),
                             bd,
                             (start, start >= end,
-                             jnp.zeros((sub, LANES), jnp.float32)),
+                             jnp.zeros((sub, w), jnp.float32)),
                         )
                         best_a[sl_, :] = jnp.maximum(
                             best_a[sl_, :],
@@ -1104,19 +1166,20 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                                     valid = valid & lives
                                     # packed argmin: t >= 0 so its f32 bit
                                     # pattern orders like the value; clear
-                                    # the low 7 mantissa bits and pack the
-                                    # lane index there, then ONE lane-min
-                                    # reduce yields winner t AND lane
-                                    # (replacing two 128-lane reductions).
-                                    # t is quantized by <= 2^-17 relative;
-                                    # the exact winner t is recomputed by
-                                    # the host epilogue (_winner_uvt), and
-                                    # the break bound compensates below.
+                                    # the low log2(w) mantissa bits and
+                                    # pack the lane index there, then ONE
+                                    # lane-min reduce yields winner t AND
+                                    # lane (replacing two w-lane
+                                    # reductions).  t is quantized by
+                                    # <= w * 2^-23 relative; the exact
+                                    # winner t is recomputed by the host
+                                    # epilogue (_winner_uvt), and the
+                                    # break bound compensates below.
                                     ti = jax.lax.bitcast_convert_type(
                                         tt, jnp.int32
                                     )
                                     key = jnp.where(
-                                        valid, (ti & -128) | lane_s,
+                                        valid, (ti & -w) | lane_s,
                                         jnp.int32(2**31 - 1),
                                     )
                                     kb = jnp.min(key, axis=1, keepdims=True)
@@ -1130,22 +1193,33 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                                             jnp.float32,
                                         )
                                     )
+                                    # winner tri id: member chunk kk of a
+                                    # merged row has its own base
+                                    lane_w = kb & (w - 1)
+                                    bsel = base_ref[l, 0]
+                                    for kk in range(1, n_k):
+                                        bsel = jnp.where(
+                                            jax.lax.shift_right_logical(
+                                                lane_w, 7
+                                            ) == kk,
+                                            base_ref[l, kk], bsel,
+                                        )
                                     best_b[sl_, :] = jnp.where(
                                         closer,
-                                        base_ref[l, 0]
-                                        + (kb & 127).astype(jnp.float32),
+                                        bsel
+                                        + (lane_w & 127).astype(jnp.float32),
                                         best_b[sl_, :],
                                     )
                                 if k == 0:
                                     _v()
                                 else:
                                     pl.when(j + k < end)(_v)
-                            # 1 + 2^-16 margin: best_a carries t quantized
-                            # DOWN (plus lane bits), so the raw max could
-                            # break one leaf too early
+                            # 1 + w*2^-23 margin: best_a carries t
+                            # quantized DOWN (plus lane bits), so the raw
+                            # max could break one leaf too early
                             tsub2 = jnp.max(jnp.where(
                                 lives, best_a[sl_, :], -1.0
-                            )) * 1.0000153
+                            )) * argmin_margin
                             jn = j + unroll
                             stop = jnp.where(
                                 jn < end, ar_blo[jn] > tsub2, False
@@ -1192,17 +1266,25 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                             tb = jnp.min(tmask, axis=1, keepdims=True)
                             is_min = (tmask <= tb) & (tmask < K_HUGE)
                             lane_b = jax.lax.broadcasted_iota(
-                                jnp.int32, (b, LANES), 1
+                                jnp.int32, (b, w), 1
                             )
                             first = jnp.min(
-                                jnp.where(is_min, lane_b, LANES),
+                                jnp.where(is_min, lane_b, w),
                                 axis=1, keepdims=True,
                             )
                             closer = tb < t_best
                             best_a[:, :] = jnp.where(closer, tb, t_best)
+                            bsel = base_ref[l, 0]
+                            for kk in range(1, n_k):
+                                bsel = jnp.where(
+                                    jax.lax.shift_right_logical(
+                                        first, 7
+                                    ) == kk,
+                                    base_ref[l, kk], bsel,
+                                )
                             best_b[:, :] = jnp.where(
                                 closer,
-                                base_ref[l, 0] + first.astype(jnp.float32),
+                                bsel + (first & 127).astype(jnp.float32),
                                 best_b[:, :],
                             )
 
@@ -1257,7 +1339,8 @@ def _traverse_arena(table: LeafTable, packed, any_hit, interpret,
     assert block % sub == 0 and sub % 8 == 0 and n_sub <= 256
     cap = l_pad + 8
     kernel = _make_arena_kernel(any_hit, table.num_leaves, l_pad, sub, block,
-                                unroll=unroll, static_row=static_row)
+                                unroll=unroll, static_row=static_row,
+                                width=table.width)
     n_words = -(-n_sub // 16)
     nc_pad = 8
     return pl.pallas_call(
@@ -1394,10 +1477,14 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
     nb = r_pad // block
     l_pad = table.l_pad
     n_chunks = l_pad // LANES
+    # 128-row equivalents so the VMEM-budget comparison is width-agnostic
+    eq128 = table.num_leaves * (table.width // LANES)
     if stream is None:
-        stream = table.num_leaves > MAX_LEAVES
-    arena = mode == "arena" or (
-        mode == "auto" and not stream and table.num_leaves <= MAX_LEAVES
+        stream = eq128 > MAX_LEAVES
+    # merged (wide-row) tables only exist at resident sizes and only the
+    # arena kernel understands them; the union/stream kernel is 128-wide
+    arena = mode == "arena" or table.width > LANES or (
+        mode == "auto" and not stream and eq128 <= MAX_LEAVES
     )
     if arena:
         out = _traverse_arena(table, packed, any_hit, interpret, block,
@@ -1408,6 +1495,7 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
         return out[:r, 0], out[:r, 3].astype(jnp.int32)
     if sub is None:
         sub = SUB_BLOCK
+    assert table.width == LANES, "union/stream kernel is 128-lane only"
     assert block % sub == 0
     n_sub = block // sub
     # f32 bitmask rows hold sums of 2^s exactly only below the 24-bit

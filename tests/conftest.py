@@ -70,6 +70,7 @@ _SLOW_TESTS = {
     "test_estimator_comparison_modes_agree_in_expectation",
     "test_reuse_estimator_variance_pinned",
     "test_arena_overflow_fallback_matches_brute",
+    "test_merged_leaf_widths_match_brute",
     "test_paged_worklist_matches_brute_multi_page",
     "test_preview_specular_ibl_metal_reflects_env",
 }

@@ -137,6 +137,41 @@ def test_pallas_traversal_matches_brute():
     )
 
 
+def test_merged_leaf_widths_match_brute():
+    """Wide leaf rows (256/512 lanes = 2/4 merged 128-tri leaves, chunk-
+    aligned with per-chunk bases) must agree with brute force for both
+    closest-hit (incl. winner tri via the per-chunk base select) and
+    bounded any-hit.  PROFILE_r05: per-visit fixed cost dominates the
+    arena walk, so wider rows cut visit count at the same table bytes."""
+    from mc_path_tracer_tpu.ops import bvh as bvh_mod
+    from mc_path_tracer_tpu.ops.intersect import intersect_brute
+    from mc_path_tracer_tpu.ops.pallas import traversal_kernel as tk
+    from tests.test_intersect import random_rays, random_scene
+
+    tris = random_scene(n=400, seed=33)
+    _, wide, rtris = bvh_mod.build_accel(tris, max_leaf=4)
+    ro, rd = random_rays(n=300, seed=34)
+    ref = intersect_brute(tris, ro, rd)
+    m = np.asarray(ref.hit)
+    t_max = jnp.where(ref.hit, ref.t * 1.5, 2.0)
+    ref_occ = m & (np.asarray(ref.t) <= np.asarray(t_max))
+    for w in (256, 512):
+        table = tk.build_leaf_table(wide, width=w)
+        assert table is not None and table.width == w
+        assert table.base.shape[1] == w // 128
+        out = tk.intersect_pallas(table, rtris, ro, rd, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out.hit), m)
+        np.testing.assert_allclose(
+            np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.position)[m], np.asarray(ref.position)[m],
+            atol=1e-4,
+        )
+        occ = tk.occluded_pallas(table, ro, rd, t_max=t_max, interpret=True)
+        np.testing.assert_array_equal(np.asarray(occ), ref_occ)
+
+
 def test_pallas_shading_attrs_and_miss_finiteness():
     """The winner's normal/uv agree with brute force on hit lanes, and EVERY
     Hit field is finite on miss/masked lanes (dead-lane origins ~1e32 made

@@ -398,7 +398,9 @@ def main():
     sdb = sbig.build()
     n_tri = sdb.tris.num_triangles
     n_leaf = sdb.leaf.num_leaves if sdb.leaf is not None else 0
-    streaming = n_leaf > tk.MAX_LEAVES
+    # 128-row equivalents: merged (wide-row) tables never stream
+    eq128 = n_leaf * (sdb.leaf.width // 128) if sdb.leaf is not None else 0
+    streaming = eq128 > tk.MAX_LEAVES
     n_chunks = -(-n_leaf // 128)
     n_pages = -(-n_chunks // tk.PAGE_CHUNKS)
     mark(f"big scene built: {n_tri} tris, {n_leaf} leaves, "
