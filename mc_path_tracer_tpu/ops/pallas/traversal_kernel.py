@@ -891,10 +891,15 @@ def _bit_index(x):
 
 def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                        block: int, unroll: int = ARENA_UNROLL,
-                       static_row: bool = False, width: int = LANES):
+                       static_row: bool = False, width: int = LANES,
+                       stages: int = 3):
     # static_row: DIAGNOSTIC ONLY (tools/ab_block.py) — phase 2 reads row 0
     # instead of the worklist row, isolating the dynamic-row-load cost.
     # Results are wrong; never routed from the public wrappers.
+    # stages: DIAGNOSTIC ONLY (tools/phase_cost.py) — 3 = full kernel,
+    # 2 = stop after phase 1d (skip the walk), 1 = stop after phase 1
+    # (skip arena placement + walk), 0 = defaults only (no phases at
+    # all; isolates dispatch + I/O staging).  Results are wrong below 3.
     n_chunks = l_pad // LANES        # <= 5 for resident tables (MAX_LEAVES)
     nc_pad = 8                       # sublane-aligned chunk-matrix height
     assert n_chunks <= nc_pad
@@ -921,7 +926,9 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
         else:
             best_a[:, :] = jnp.full((b, 1), K_HUGE, jnp.float32)
             best_b[:, :] = jnp.full((b, 1), -1.0, jnp.float32)
-        alive = jnp.max(rays_ref[:, 6:7]) > 0.5
+        alive = (jnp.max(rays_ref[:, 6:7]) > 0.5) if stages > 0 else (
+            jnp.bool_(False)
+        )
 
         @pl.when(alive)
         def _phases():
@@ -1061,6 +1068,9 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
             ovf = off2_sm[n_sub] > ARENA_PAIRS
             n_sm[1] = ovf.astype(jnp.int32)
 
+            if stages < 2:
+                return
+
             # ---- phase 1d: distribute sorted union entries into the
             # per-subgroup lists (iterates exactly the set bits)
             @pl.when(jnp.logical_not(ovf))
@@ -1086,6 +1096,9 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
                     return 0
 
                 jax.lax.fori_loop(0, n, body, 0)
+
+            if stages < 3:
+                return
 
             # ---- phase 2 (arena): each subgroup walks its own list.
             # STATIC unroll over subgroups (dynamic sublane slices measured
@@ -1331,7 +1344,7 @@ def _make_arena_kernel(any_hit: bool, n_leaves: int, l_pad: int, sub: int,
 
 def _traverse_arena(table: LeafTable, packed, any_hit, interpret,
                     block: int, sub: int, unroll: int = ARENA_UNROLL,
-                    static_row: bool = False):
+                    static_row: bool = False, stages: int = 3):
     r_pad = packed.shape[0]
     nb = r_pad // block
     l_pad = table.l_pad
@@ -1340,7 +1353,7 @@ def _traverse_arena(table: LeafTable, packed, any_hit, interpret,
     cap = l_pad + 8
     kernel = _make_arena_kernel(any_hit, table.num_leaves, l_pad, sub, block,
                                 unroll=unroll, static_row=static_row,
-                                width=table.width)
+                                width=table.width, stages=stages)
     n_words = -(-n_sub // 16)
     nc_pad = 8
     return pl.pallas_call(
@@ -1425,10 +1438,17 @@ def _sort_perm(rd, mask, fine: bool = False, block: int | None = None):
     last.  Stability preserves the caller's tile-major order inside each
     bin, so sorted blocks are direction-coherent AND origin-tight —
     measured 81 -> 48 ms (closest) / 143 -> 82 ms (any-hit) on 64k/128k
-    diffuse-bounce dispatches at 256-ray blocks (tools/ab_block.py), while
-    the argsort+gather overhead is ~0.5 ms.  Dead lanes compact into
-    all-dead tail blocks, which the kernel's `alive` fast path skips
-    entirely."""
+    diffuse-bounce dispatches at 256-ray blocks (tools/ab_block.py).
+    Dead lanes compact into all-dead tail blocks, which the kernel's
+    `alive` fast path skips entirely.
+
+    The argsorts themselves are cheap (0.55 ms for 128k lanes measured
+    stand-alone); the sorted path's real overhead is the data MOVEMENT
+    around them, so the callers gather the pre-packed [R, 8] ray rows
+    once instead of each component separately (see intersect_pallas).
+    A counting-rank (one-hot cumsum) replacement for the argsorts was
+    built and measured SLOWER on chip (stage-0 2.19 -> 3.25 ms closest,
+    5.99 -> 6.93 any-hit, tools/phase_cost.py r5) — reverted."""
     # fine=True (128 bins) measured slightly WORSE than octants (49.6 vs
     # 48.0 ms closest, 86 vs 82 ms any-hit): finer bins fragment the stable
     # sort's tile-locality — each bin draws from the whole dispatch, so
@@ -1467,13 +1487,31 @@ def _pack_rays(ro, rd, mask, t_max, r_pad):
 def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
               block: int = RAY_BLOCK, stream: bool | None = None,
               sub: int | None = None, mode: str = "auto",
-              unroll: int = ARENA_UNROLL, static_row: bool = False):
+              unroll: int = ARENA_UNROLL, static_row: bool = False,
+              stages: int = 3):
     """mode: "auto" routes resident single-page tables to the arena kernel
     (per-subgroup worklists) and everything else to the union kernel;
     "arena"/"union" force a kernel for A/B harnesses."""
     r = ro.shape[0]
     r_pad = -(-r // block) * block
     packed = _pack_rays(ro, rd, mask, t_max, r_pad)
+    return _traverse_packed(table, packed, r, any_hit, interpret,
+                            block=block, stream=stream, sub=sub, mode=mode,
+                            unroll=unroll, static_row=static_row,
+                            stages=stages)
+
+
+def _traverse_packed(table: LeafTable, packed, r, any_hit, interpret,
+                     block: int = RAY_BLOCK, stream: bool | None = None,
+                     sub: int | None = None, mode: str = "auto",
+                     unroll: int = ARENA_UNROLL, static_row: bool = False,
+                     stages: int = 3):
+    """_traverse on pre-packed [r_pad, 8] ray rows (o.xyz d.xyz live
+    t_max).  The sorted wrappers pack FIRST and permute the packed rows
+    with ONE row gather — four separate component gathers measured as the
+    bulk of the sorted path's 2.2/5.7 ms per-dispatch overhead
+    (tools/phase_cost.py r5; the argsorts themselves are 0.55 ms)."""
+    r_pad = packed.shape[0]
     nb = r_pad // block
     l_pad = table.l_pad
     n_chunks = l_pad // LANES
@@ -1489,7 +1527,8 @@ def _traverse(table: LeafTable, ro, rd, any_hit, mask, t_max, interpret,
     if arena:
         out = _traverse_arena(table, packed, any_hit, interpret, block,
                               ARENA_SUB if sub is None else sub,
-                              unroll=unroll, static_row=static_row)
+                              unroll=unroll, static_row=static_row,
+                              stages=stages)
         if any_hit:
             return out[:r, 0] > 0.5
         return out[:r, 0], out[:r, 3].astype(jnp.int32)
@@ -1580,14 +1619,22 @@ def intersect_pallas(
     """Closest-hit traversal (reference intersect(), Triangle.cu:144-200).
 
     `sort=True` dispatches the kernel over octant-grouped, dead-compacted
-    lanes (see _sort_perm) and unsorts only (t, tri_id) — two [R] gathers —
-    before the exact winner recompute, which runs in caller order."""
+    lanes (see _sort_perm): rays are packed FIRST and permuted as [R, 8]
+    rows in ONE gather (component-wise gathers measured as the bulk of the
+    sorted path's overhead, tools/phase_cost.py r5), and only (t, tri_id)
+    are unsorted — two [R] gathers — before the exact winner recompute,
+    which runs in caller order."""
     if sort:
         perm, inv = _sort_perm(ray_d, mask, block=RAY_BLOCK)
-        t_s, id_s = _traverse(
-            table, ray_o[perm], ray_d[perm], False,
-            None if mask is None else mask[perm], None, interpret,
-        )
+        r = ray_o.shape[0]
+        r_pad = -(-r // RAY_BLOCK) * RAY_BLOCK
+        packed = _pack_rays(ray_o, ray_d, mask, None, r_pad)
+        if r_pad > r:
+            perm = jnp.concatenate(
+                [perm, jnp.arange(r, r_pad, dtype=perm.dtype)]
+            )
+        t_s, id_s = _traverse_packed(table, packed[perm], r, False,
+                                     interpret)
         t, tri_id = t_s[inv], id_s[inv]
     else:
         t, tri_id = _traverse(table, ray_o, ray_d, False, mask, None, interpret)
@@ -1612,13 +1659,19 @@ def occluded_pallas(
     interpret: bool = False,
     sort: bool = False,
 ) -> jnp.ndarray:
-    """Any-hit traversal (reference intersect_shadows, Triangle.cu:204-248)."""
+    """Any-hit traversal (reference intersect_shadows, Triangle.cu:204-248).
+
+    sort=True packs first and permutes [R, 8] rows in one gather, as in
+    intersect_pallas."""
     if sort:
         perm, inv = _sort_perm(ray_d, mask, block=RAY_BLOCK)
-        occ = _traverse(
-            table, ray_o[perm], ray_d[perm], True,
-            None if mask is None else mask[perm],
-            None if t_max is None else t_max[perm], interpret,
-        )
+        r = ray_o.shape[0]
+        r_pad = -(-r // RAY_BLOCK) * RAY_BLOCK
+        packed = _pack_rays(ray_o, ray_d, mask, t_max, r_pad)
+        if r_pad > r:
+            perm = jnp.concatenate(
+                [perm, jnp.arange(r, r_pad, dtype=perm.dtype)]
+            )
+        occ = _traverse_packed(table, packed[perm], r, True, interpret)
         return occ[inv]
     return _traverse(table, ray_o, ray_d, True, mask, t_max, interpret)

@@ -137,6 +137,48 @@ def test_pallas_traversal_matches_brute():
     )
 
 
+def test_sort_perm_semantics():
+    """_sort_perm's permutation pinned against a NumPy reference: stage 1
+    stable by (octant, dead last), stage 2 stable within each dispatch
+    block by the 128-bin fine direction key; perm/inv mutual inverses;
+    dead lanes grouped into tail blocks."""
+    from mc_path_tracer_tpu.ops.pallas.traversal_kernel import _sort_perm
+
+    rng = np.random.default_rng(5)
+    for r, block in ((8192, 2048), (2048, 2048), (1000, None),
+                     (6144, 2048)):
+        rd = rng.normal(size=(r, 3)).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        mask = rng.random(r) > 0.3
+        perm, inv = _sort_perm(jnp.asarray(rd), jnp.asarray(mask),
+                               block=block)
+        perm, inv = np.asarray(perm), np.asarray(inv)
+        ar = np.arange(r)
+        assert (np.sort(perm) == ar).all()
+        assert (perm[inv] == ar).all() and (inv[perm] == ar).all()
+        octant = (rd[:, 0] > 0) * 4 + (rd[:, 1] > 0) * 2 + (rd[:, 2] > 0)
+        key = np.where(mask, octant, 8)
+        p1 = np.argsort(key, kind="stable")
+        if block is not None and r > block:
+            a = np.abs(rd[p1])
+            s = np.maximum(a.sum(1), 1e-20)
+            u = np.clip((4 * a[:, 0] / s).astype(np.int32), 0, 3)
+            v = np.clip((4 * a[:, 1] / s).astype(np.int32), 0, 3)
+            octant_s = ((rd[p1, 0] > 0) * 4 + (rd[p1, 1] > 0) * 2
+                        + (rd[p1, 2] > 0))
+            fb = octant_s * 16 + u * 4 + v
+            blk = ar // block
+            p1 = p1[np.argsort(blk * 129 + fb, kind="stable")]
+        np.testing.assert_array_equal(perm, p1)
+        # dead lanes group into tail blocks (stage 2 reorders within the
+        # single live/dead boundary block)
+        n_live = int(mask.sum())
+        tail_start = n_live if block is None else min(
+            -(-n_live // block) * block, r
+        )
+        assert not mask[perm][tail_start:].any()
+
+
 def test_merged_leaf_widths_match_brute():
     """Wide leaf rows (256/512 lanes = 2/4 merged 128-tri leaves, chunk-
     aligned with per-chunk bases) must agree with brute force for both
